@@ -1,0 +1,169 @@
+"""Integration and horizon linearization.
+
+TPU-native replacement for the reference's external
+`DifferentialDynamicsModels` / `LinearDynamicsModels` dependencies
+(SURVEY.md §1 "External stack"): RK4 `propagate`, and discrete affine models
+
+    ZOH:  q+ = A q + B  u            + c   (StepControl)
+    FOH:  q+ = A q + B0 u_t + Bf u_{t+1} + c   (RampControl)
+
+obtained either by `jax.jacfwd` through the integrator (the coupled
+controller's path, reference `src/coupled_lat_long.jl:253,262`) or by exact
+discretization of the continuously-linearized system via a fixed
+scaling-and-squaring matrix exponential (the decoupled controller's
+double-linearization, reference `src/decoupled_lat_long.jl:172-173,182-183`).
+
+All dynamics callables have signature f(q, ur) -> qdot with the trailing
+`ur` the stacked [u2; p4] input; `n_keep` columns of the input Jacobian stay
+decision variables, the rest (trajectory parameters) fold into the affine
+offset c — replicating `keep_control_dims` semantics
+(SURVEY.md §1, `linearize` bullets).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# RK4 integration
+# ---------------------------------------------------------------------------
+
+def rk4_step(f, q, ur, dt):
+    """One classical RK4 step with constant input."""
+    k1 = f(q, ur)
+    k2 = f(q + 0.5 * dt * k1, ur)
+    k3 = f(q + 0.5 * dt * k2, ur)
+    k4 = f(q + dt * k3, ur)
+    return q + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def rk4_step_ramp(f, q, ur0, urf, dt):
+    """One RK4 step with input ramping linearly ur0 -> urf over dt
+    (RampControl semantics): stage inputs at tau = 0, dt/2, dt/2, dt."""
+    urm = 0.5 * (ur0 + urf)
+    k1 = f(q, ur0)
+    k2 = f(q + 0.5 * dt * k1, urm)
+    k3 = f(q + 0.5 * dt * k2, urm)
+    k4 = f(q + dt * k3, urf)
+    return q + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def propagate(f, q, ur, dt, substeps: int = 1):
+    """Integrate f over dt with constant input (reference `propagate`, used
+    for the plant step in `simulate`, `src/model_predictive_control.jl:94`)."""
+    h = dt / substeps
+    for _ in range(substeps):
+        q = rk4_step(f, q, ur, h)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Discrete linearization by jacfwd through the integrator
+# ---------------------------------------------------------------------------
+
+def linearize_zoh(f, q, ur, dt, n_keep: int):
+    """Discrete ZOH affine model by differentiating one RK4 step
+    (reference call site `src/coupled_lat_long.jl:253,336`)."""
+    def g(q_, ur_):
+        return rk4_step(f, q_, ur_, dt)
+
+    A = jax.jacfwd(g, argnums=0)(q, ur)
+    B_full = jax.jacfwd(g, argnums=1)(q, ur)
+    B = B_full[:, :n_keep]
+    c = g(q, ur) - A @ q - B @ ur[:n_keep]
+    return A, B, c
+
+
+def linearize_foh(f, q, ur0, urf, dt, n_keep: int):
+    """Discrete FOH affine model by differentiating one ramp-input RK4 step
+    (reference call site `src/coupled_lat_long.jl:262,348`)."""
+    def g(q_, ur0_, urf_):
+        return rk4_step_ramp(f, q_, ur0_, urf_, dt)
+
+    A = jax.jacfwd(g, argnums=0)(q, ur0, urf)
+    B0 = jax.jacfwd(g, argnums=1)(q, ur0, urf)[:, :n_keep]
+    Bf = jax.jacfwd(g, argnums=2)(q, ur0, urf)[:, :n_keep]
+    c = (g(q, ur0, urf) - A @ q - B0 @ ur0[:n_keep] - Bf @ urf[:n_keep])
+    return A, B0, Bf, c
+
+
+# ---------------------------------------------------------------------------
+# Exact discretization of the continuously-linearized system
+# ---------------------------------------------------------------------------
+
+def expm_fixed(M, squarings: int = 8, order: int = 8):
+    """Matrix exponential by fixed scaling-and-squaring + Taylor series.
+
+    Deterministic and branch-free (unlike Pade implementations with
+    norm-dependent scaling), hence cheap to vmap/jit on TPU.  With
+    squarings=8 the scaled norm is ||M||/256; Taylor-8 then gives ~1e-14
+    relative error for ||M|| up to ~10, which covers the vehicle Jacobians
+    (|entries| * dt_long <~ 8).
+    """
+    n = M.shape[-1]
+    S = M / (2.0 ** squarings)
+    eye = jnp.eye(n, dtype=M.dtype)
+    # Horner evaluation of sum_k S^k / k!
+    E = eye + S / order
+    for k in range(order - 1, 0, -1):
+        E = eye + (S @ E) / k
+    for _ in range(squarings):
+        E = E @ E
+    return E
+
+
+def _continuous_affine(f, q, ur):
+    """Continuous linearization qdot ~= Jq q + Ju ur + ct at (q, ur)
+    (the reference's inner `linearize(dyn, q, ur)`,
+    `src/decoupled_lat_long.jl:172,182`)."""
+    Jq = jax.jacfwd(f, argnums=0)(q, ur)
+    Ju = jax.jacfwd(f, argnums=1)(q, ur)
+    ct = f(q, ur) - Jq @ q - Ju @ ur
+    return Jq, Ju, ct
+
+
+def linearize_affine_zoh(f, q, ur, dt, n_keep: int):
+    """Continuous-linearize then exactly ZOH-discretize (the decoupled
+    controller's double linearization, `src/decoupled_lat_long.jl:172-178`)."""
+    n = q.shape[-1]
+    m = ur.shape[-1]
+    Jq, Ju, ct = _continuous_affine(f, q, ur)
+    M = jnp.zeros((n + m + 1, n + m + 1), dtype=q.dtype)
+    M = M.at[:n, :n].set(Jq)
+    M = M.at[:n, n:n + m].set(Ju)
+    M = M.at[:n, -1].set(ct)
+    E = expm_fixed(M * dt)
+    A = E[:n, :n]
+    B_full = E[:n, n:n + m]
+    c = E[:n, -1] + B_full[:, n_keep:] @ ur[n_keep:]
+    return A, B_full[:, :n_keep], c
+
+
+def linearize_affine_foh(f, q, ur0, urf, dt, n_keep: int):
+    """Continuous-linearize then exactly FOH-discretize
+    (`src/decoupled_lat_long.jl:182-189`).
+
+    Augmented state z = [q; u; v; 1] with udot = v (the ramp slope,
+    v = (urf-ur0)/dt) and vdot = 0; reading off the blocks of expm gives
+    A = Phi_qq, Bf = Phi_qv/dt, B0 = Phi_qu - Phi_qv/dt, c = Phi_q1.
+    """
+    n = q.shape[-1]
+    m = ur0.shape[-1]
+    Jq, Ju, ct = _continuous_affine(f, q, ur0)
+    dim = n + 2 * m + 1
+    M = jnp.zeros((dim, dim), dtype=q.dtype)
+    M = M.at[:n, :n].set(Jq)
+    M = M.at[:n, n:n + m].set(Ju)
+    M = M.at[:n, -1].set(ct)
+    M = M.at[n:n + m, n + m:n + 2 * m].set(jnp.eye(m, dtype=q.dtype))
+    E = expm_fixed(M * dt)
+    A = E[:n, :n]
+    Phi_qu = E[:n, n:n + m]
+    Phi_qv = E[:n, n + m:n + 2 * m]
+    B0_full = Phi_qu - Phi_qv / dt
+    Bf_full = Phi_qv / dt
+    c = (E[:n, -1] + B0_full[:, n_keep:] @ ur0[n_keep:]
+         + Bf_full[:, n_keep:] @ urf[n_keep:])
+    return A, B0_full[:, :n_keep], Bf_full[:, :n_keep], c

@@ -1,0 +1,252 @@
+"""Trajectory representation: nominal trajectory "tube" arrays with
+time-indexed and arclength-indexed lookup, world-position path projection,
+and a `.world` YAML asset loader.
+
+Functional JAX reimplementation of the reference's `src/trajectories.jl`
+plus the `.world` path-asset conversion that the reference does through ROS
+(`src/ros_integration.jl:13-16`, `test/path/world2pathmsg.py`).
+
+A `TrajectoryTube` is a pytree of fixed-length (optionally padded) arrays —
+the batched, on-device analog of the reference's struct-of-Vectors
+(`src/trajectories.jl:8-44`).  `n_valid` marks the live prefix so tubes of
+different lengths can share one compiled program / batch axis.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pigeon_tpu.math_utils import cross2, invcumtrapz, segment_distance2
+
+
+class TrajectoryTube(NamedTuple):
+    """Columns mirror the reference's 12-field trajectory node
+    (`src/trajectories.jl:1,8-21`)."""
+
+    t: jnp.ndarray        # time (s)
+    s: jnp.ndarray        # arclength (m)
+    V: jnp.ndarray        # longitudinal speed (m/s)
+    A: jnp.ndarray        # longitudinal accel (m/s^2)
+    E: jnp.ndarray        # world E (m)
+    N: jnp.ndarray        # world N (m)
+    psi: jnp.ndarray      # heading (rad)
+    kappa: jnp.ndarray    # curvature (1/m)
+    theta: jnp.ndarray    # grade (rad)
+    phi: jnp.ndarray      # bank (rad)
+    edge_L: jnp.ndarray   # left lateral bound (m)
+    edge_R: jnp.ndarray   # right lateral bound (m)
+    n_valid: jnp.ndarray  # number of live knots (<= padded length)
+
+    @property
+    def length(self) -> int:
+        """Padded array length (static)."""
+        return self.t.shape[-1]
+
+
+class TrajectoryNode(NamedTuple):
+    """One interpolated sample (reference `TrajectoryNode`,
+    `src/trajectories.jl:1-6`)."""
+
+    t: jnp.ndarray
+    s: jnp.ndarray
+    V: jnp.ndarray
+    A: jnp.ndarray
+    E: jnp.ndarray
+    N: jnp.ndarray
+    psi: jnp.ndarray
+    kappa: jnp.ndarray
+    theta: jnp.ndarray
+    phi: jnp.ndarray
+    edge_L: jnp.ndarray
+    edge_R: jnp.ndarray
+
+
+_SPATIAL_FIELDS = ("E", "N", "psi", "kappa", "theta", "phi", "edge_L", "edge_R")
+
+
+def make_tube(t, s, V, A, E, N, psi, kappa, theta=None, phi=None,
+              edge_L=None, edge_R=None, pad_to: int | None = None
+              ) -> TrajectoryTube:
+    """Build a tube from columns, applying the reference's defaults
+    (theta=phi=0, edge_L=+4, edge_R=-4; `src/trajectories.jl:39-44`) and
+    optional right-padding to a static length."""
+    t = np.asarray(t, dtype=np.float64)
+    n = t.shape[0]
+    cols = dict(t=t, s=s, V=V, A=A, E=E, N=N, psi=psi, kappa=kappa)
+    cols["theta"] = np.zeros(n) if theta is None else theta
+    cols["phi"] = np.zeros(n) if phi is None else phi
+    cols["edge_L"] = np.full(n, 4.0) if edge_L is None else edge_L
+    cols["edge_R"] = np.full(n, -4.0) if edge_R is None else edge_R
+    cols = {k: np.asarray(v, dtype=np.float64) for k, v in cols.items()}
+    for k, v in cols.items():
+        if v.shape[0] != n:
+            raise ValueError(f"column {k} length {v.shape[0]} != {n}")
+    if pad_to is not None and pad_to > n:
+        pad = pad_to - n
+        for k in ("t", "s"):
+            # keep padded knots strictly increasing so searchsorted stays sane
+            step = np.arange(1, pad + 1) * max(1.0, cols[k][-1] - cols[k][0])
+            cols[k] = np.concatenate([cols[k], cols[k][-1] + step])
+        for k in cols:
+            if k not in ("t", "s"):
+                cols[k] = np.concatenate([cols[k], np.full(pad, cols[k][-1])])
+    return TrajectoryTube(n_valid=jnp.asarray(n, jnp.int32),
+                          **{k: jnp.asarray(v) for k, v in cols.items()})
+
+
+def straight_trajectory(length: float, vel: float, pad_to: int | None = None
+                        ) -> TrajectoryTube:
+    """Straight constant-speed trajectory along +N
+    (reference `straight_trajectory`, `src/trajectories.jl:96-105`)."""
+    return make_tube(t=[0.0, length / vel], s=[0.0, length], V=[vel, vel],
+                     A=[0.0, 0.0], E=[0.0, 0.0], N=[0.0, length],
+                     psi=[0.0, 0.0], kappa=[0.0, 0.0], pad_to=pad_to)
+
+
+# ---------------------------------------------------------------------------
+# Lookup
+# ---------------------------------------------------------------------------
+
+def _segment_index(knots, x, n_valid):
+    """Index i of the live segment [knots[i], knots[i+1]] containing x,
+    clamped to the valid range — the Julia
+    `clamp(searchsortedfirst(...)-1, 1, len-1)` idiom
+    (`src/trajectories.jl:48,56`), 0-based."""
+    i = jnp.searchsorted(knots, x, side="left") - 1
+    return jnp.clip(i, 0, n_valid - 2)
+
+
+def _lerp_spatial(tube: TrajectoryTube, s):
+    """Linear interp of the spatial columns by arclength with linear
+    extrapolation beyond the ends (the reference's Gridded(Linear) +
+    Line() extrapolation, `src/trajectories.jl:32-35`)."""
+    i = _segment_index(tube.s, s, tube.n_valid)
+    s0, s1 = tube.s[i], tube.s[i + 1]
+    lam = (s - s0) / (s1 - s0)   # deliberately unclamped -> Line() extrapolation
+    out = {}
+    for name in _SPATIAL_FIELDS:
+        col = getattr(tube, name)
+        out[name] = col[i] + lam * (col[i + 1] - col[i])
+    return out
+
+
+def _seg_accel(tube: TrajectoryTube, i):
+    """Per-segment accel from finite differences — "potentially different
+    from traj.A[i]" (`src/trajectories.jl:49,57,85`)."""
+    return (tube.V[i + 1] - tube.V[i]) / (tube.t[i + 1] - tube.t[i])
+
+
+def _time_from_arc(tube: TrajectoryTube, i, ds, s):
+    """Invert the constant-accel arc s(t) on segment i for dt
+    (`src/trajectories.jl:59-63,86-90`)."""
+    A = _seg_accel(tube, i)
+    Vi = tube.V[i]
+    disc = jnp.sqrt(jnp.maximum(2.0 * A * ds + Vi * Vi, 0.0))
+    s_end = tube.s[tube.n_valid - 1]
+    use_linear = (jnp.abs(A) < 1e-3) | (s > s_end)
+    A_safe = jnp.where(jnp.abs(A) < 1e-3, 1.0, A)
+    dt = jnp.where(use_linear, ds / Vi, (disc - Vi) / A_safe)
+    return A, dt
+
+
+def eval_time(tube: TrajectoryTube, t) -> TrajectoryNode:
+    """Sample the tube at time t: constant-accel interpolation between time
+    knots, then spatial interp at the resulting arclength (the reference's
+    `traj(t)` functor, `src/trajectories.jl:47-54`)."""
+    i = _segment_index(tube.t, t, tube.n_valid)
+    A = _seg_accel(tube, i)
+    dt = t - tube.t[i]
+    s = tube.s[i] + tube.V[i] * dt + A * dt * dt / 2.0
+    V = tube.V[i] + A * dt
+    sp = _lerp_spatial(tube, s)
+    return TrajectoryNode(t=jnp.asarray(t), s=s, V=V, A=A, **sp)
+
+
+def eval_arclength(tube: TrajectoryTube, s) -> TrajectoryNode:
+    """Sample the tube at arclength s (the reference's `traj[s]` indexing,
+    `src/trajectories.jl:55-68`)."""
+    i = _segment_index(tube.s, s, tube.n_valid)
+    ds = s - tube.s[i]
+    A, dt = _time_from_arc(tube, i, ds, s)
+    t = tube.t[i] + dt
+    V = tube.V[i] + A * dt
+    sp = _lerp_spatial(tube, s)
+    return TrajectoryNode(t=t, s=jnp.asarray(s), V=V, A=A, **sp)
+
+
+def path_coordinates(tube: TrajectoryTube, x):
+    """Project world position x=(E,N) onto the path: returns (s, e, t) with
+    signed lateral error e (left positive).
+
+    The reference brute-force scans all segments
+    (`path_coordinates`, `src/trajectories.jl:71-93`); here the scan is a
+    vectorized masked argmin over the segment axis — embarrassingly
+    parallel and fast on the VPU.
+    """
+    pts = jnp.stack([tube.E, tube.N], axis=-1)        # (L, 2)
+    p0, p1 = pts[:-1], pts[1:]                        # (L-1, 2)
+    d2, _ = segment_distance2(p0, p1, x[None, :])     # (L-1,)
+    nseg = tube.t.shape[0] - 1
+    seg_ids = jnp.arange(nseg)
+    live = seg_ids < (tube.n_valid - 1)
+    d2 = jnp.where(live, d2, jnp.inf)
+    i = jnp.argmin(d2)
+    d2min = d2[i]
+    v = p1[i] - p0[i]
+    w = x - p0[i]
+    ds = jnp.sqrt(jnp.maximum(jnp.sum(w * w) - d2min, 0.0))
+    s = tube.s[i] + ds
+    e = jnp.sqrt(d2min) * jnp.sign(cross2(v, w))
+    A, dt = _time_from_arc(tube, i, ds, s)
+    t = tube.t[i] + dt
+    return s, e, t
+
+
+def end_time(tube: TrajectoryTube):
+    """Final live time knot (the reference's `traj.t[end]`)."""
+    return tube.t[tube.n_valid - 1]
+
+
+# ---------------------------------------------------------------------------
+# .world asset loader (replaces the reference's ROS .msg pipeline:
+# test/path/world2pathmsg.py + src/ros_integration.jl:13-16)
+# ---------------------------------------------------------------------------
+
+def load_world_arrays(path: str) -> dict:
+    """Parse a `.world` YAML file of comma-separated arrays (keys per
+    `test/path/world2pathmsg.py:5-16`) into numpy arrays without needing a
+    YAML/ROS stack."""
+    out = {}
+    with open(path) as f:
+        text = f.read()
+    for m in re.finditer(r"^(\w+):\s*(.*?)(?=^\w+:|\Z)", text,
+                         re.MULTILINE | re.DOTALL):
+        key, val = m.group(1), m.group(2).strip()
+        if "," in val:
+            out[key] = np.array([float(v) for v in val.split(",")])
+        else:
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val
+    return out
+
+
+def tube_from_world(path: str, pad_to: int | None = None) -> TrajectoryTube:
+    """Load a recorded X1 `.world` test path as a TrajectoryTube.
+
+    Field mapping and time reconstruction t = invcumtrapz(V, s) follow the
+    reference's `/des_path` ingest (`src/ros_integration.jl:13-16`).
+    """
+    w = load_world_arrays(path)
+    s = w["s_m"]
+    V = w["UxDes_mps"]
+    t = np.asarray(invcumtrapz(jnp.asarray(V), jnp.asarray(s)))
+    return make_tube(
+        t=t, s=s, V=V, A=w["AxDes_mps2"], E=w["posE_m"], N=w["posN_m"],
+        psi=w["psi_rad"], kappa=w["k_1pm"], theta=w["grade_rad"], phi=None,
+        edge_L=w.get("edgeL_m"), edge_R=w.get("edgeR_m"), pad_to=pad_to)

@@ -1,0 +1,44 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh with
+x64 enabled (the CPU-parity mode; SURVEY.md §4 "multi-host tests on CPU
+meshes").
+
+This environment registers a remote-TPU ("axon") PJRT plugin from a
+sitecustomize at interpreter start; initializing it takes minutes over the
+tunnel and is useless for unit tests, so we drop its backend factory before
+any backend is instantiated and force an 8-device CPU platform.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (already imported by sitecustomize anyway)
+
+try:  # deregister the axon plugin backend factory if present
+    from jax._src import xla_bridge as _xb
+
+    for _k in list(getattr(_xb, "_backend_factories", {})):
+        if "axon" in _k or "tpu" in _k:
+            _xb._backend_factories.pop(_k, None)
+except Exception:  # pragma: no cover - best effort
+    pass
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_PATHS = "/root/reference/test/path"
+
+
+@pytest.fixture(scope="session")
+def x1():
+    from pigeon_tpu.config import x1_params
+    return x1_params()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
