@@ -1,0 +1,221 @@
+"""Batched OSQP-style ADMM quadratic-program solver in pure JAX.
+
+TPU-native replacement for the reference's only hot-path native component —
+the OSQP C library (SURVEY.md §2 "Native components"; reference dependency
+`Project.toml:15`, settings `src/coupled_lat_long.jl:201-203`).  Solves
+
+    minimize   1/2 x' diag(P) x + q' x
+    subject to l <= A x <= u
+
+the canonical OSQP form.  P is diagonal by construction for every MPC QP in
+this framework (all objective terms are per-variable quadratics; couplings
+like ddelta enter through auxiliary variables and equality rows), which
+makes the reduced KKT matrix  K = diag(P + sigma) + A' diag(rho) A  the
+only dense object.  One batched Cholesky factorization per MPC step + cheap
+triangular solves per iteration map straight onto the MXU.
+
+Algorithm (mirrors OSQP):
+  x~ : solve K x~ = sigma x - q + A'(rho z - y)
+  z~ = A x~
+  x+ = alpha x~ + (1-alpha) x
+  z+ = clip(alpha z~ + (1-alpha) z + y/rho, l, u)
+  y+ = y + rho (alpha z~ + (1-alpha) z - z+)
+with over-relaxation alpha, per-row rho (equality rows get
+rho*rho_eq_scale, as in OSQP), modified Ruiz equilibration, periodic
+residual checks, and optional adaptive rho with refactorization.
+
+The solver is written for a single QP instance and composed with
+`jax.vmap` for scenario batching; under vmap the while_loop runs until the
+whole batch converges (or max_iter), giving deterministic latency.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pigeon_tpu.config import SolverOptions
+
+
+class QPData(NamedTuple):
+    """One QP in canonical form; P is the diagonal of the cost Hessian."""
+
+    P_diag: jnp.ndarray  # (n,)
+    q: jnp.ndarray       # (n,)
+    A: jnp.ndarray       # (m, n)
+    l: jnp.ndarray       # (m,)
+    u: jnp.ndarray       # (m,)
+
+
+class QPWarmStart(NamedTuple):
+    x: jnp.ndarray       # (n,)
+    y: jnp.ndarray       # (m,) dual
+    z: jnp.ndarray       # (m,) constraint-space iterate
+
+
+class QPSolution(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    iterations: jnp.ndarray
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def cold_start(qp: QPData) -> QPWarmStart:
+    n = qp.q.shape[-1]
+    m = qp.l.shape[-1]
+    z = jnp.zeros(m, qp.q.dtype)
+    return QPWarmStart(x=jnp.zeros(n, qp.q.dtype), y=z, z=z)
+
+
+# ---------------------------------------------------------------------------
+# Ruiz equilibration (modified, as in OSQP)
+# ---------------------------------------------------------------------------
+
+def _ruiz(qp: QPData, iters: int):
+    """Symmetric Ruiz equilibration of [[P, A'], [A, 0]] plus cost scaling.
+
+    Returns scaled problem and the scalings (D, E, c) with
+    x = D x_bar, constraint rows scaled by E, objective scaled by c.
+    """
+    P, q, A, l, u = qp
+    n = q.shape[-1]
+    m = l.shape[-1]
+    D = jnp.ones(n, q.dtype)
+    E = jnp.ones(m, q.dtype)
+    c = jnp.asarray(1.0, q.dtype)
+    eps = 1e-12
+    for _ in range(iters):
+        Ps = P * D * D * c                      # diagonal of scaled P
+        As = (E[:, None] * A) * D[None, :]      # scaled A
+        col_x = jnp.maximum(jnp.abs(Ps), jnp.max(jnp.abs(As), axis=0))
+        col_y = jnp.max(jnp.abs(As), axis=1)
+        D = D / jnp.sqrt(jnp.maximum(col_x, eps))
+        E = E / jnp.sqrt(jnp.maximum(col_y, eps))
+        # cost scaling: normalize the scaled gradient magnitude
+        Ps = P * D * D * c
+        qs = c * D * q
+        g = jnp.maximum(jnp.mean(jnp.abs(Ps)), jnp.max(jnp.abs(qs)))
+        c = c / jnp.maximum(g, 1.0)
+    Pb = P * D * D * c
+    qb = c * D * q
+    Ab = (E[:, None] * A) * D[None, :]
+    lb = E * l
+    ub = E * u
+    return QPData(Pb, qb, Ab, lb, ub), D, E, c
+
+
+# ---------------------------------------------------------------------------
+# Core solve
+# ---------------------------------------------------------------------------
+
+def _factor(Pb, Ab, rho_vec, sigma):
+    K = (Ab.T * rho_vec[None, :]) @ Ab
+    K = K + jnp.diag(Pb + sigma)
+    return jnp.linalg.cholesky(K)
+
+
+def _cho_solve(L, b):
+    w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+
+
+_RHO_MIN, _RHO_MAX = 1e-6, 1e6
+
+
+def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
+             opts: SolverOptions = SolverOptions()) -> QPSolution:
+    """Solve one QP; vmap over a leading batch axis for scenario batching."""
+    dtype = qp.q.dtype
+    if warm is None:
+        warm = cold_start(qp)
+
+    qps, D, E, c = (_ruiz(qp, opts.scaling_iters) if opts.scaling_iters > 0
+                    else (qp, jnp.ones_like(qp.q),
+                          jnp.ones_like(qp.l), jnp.asarray(1.0, dtype)))
+    Pb, qb, Ab, lb, ub = qps
+    sigma = jnp.asarray(opts.sigma, dtype)
+    alpha = jnp.asarray(opts.alpha, dtype)
+
+    # Per-row rho: equality rows (l == u) get the stiff scaling, like OSQP.
+    is_eq = (qp.u - qp.l) < 1e-10
+    rho0 = jnp.where(is_eq, opts.rho * opts.rho_eq_scale, opts.rho
+                     ).astype(dtype)
+
+    # scale the warm start into the equilibrated space
+    x0 = warm.x / D
+    z0 = E * warm.z
+    y0 = c * warm.y / E
+
+    n_seg = max(1, opts.max_iter // opts.check_every)
+
+    def residuals(x, z, y):
+        """Unscaled residuals + termination thresholds (OSQP semantics)."""
+        x_u = D * x
+        z_u = z / E
+        y_u = (E * y) / c
+        Ax = qp.A @ x_u
+        Px = qp.P_diag * x_u
+        Aty = qp.A.T @ y_u
+        r_prim = jnp.max(jnp.abs(Ax - z_u))
+        r_dual = jnp.max(jnp.abs(Px + qp.q + Aty))
+        eps_prim = opts.eps_abs + opts.eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z_u)))
+        eps_dual = opts.eps_abs + opts.eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+            jnp.max(jnp.abs(qp.q)))
+        return r_prim, r_dual, eps_prim, eps_dual, Ax, z_u, Px, Aty
+
+    def admm_iters(L, rho_vec, x, z, y, k):
+        def body(_, carry):
+            x, z, y = carry
+            rhs = sigma * x - qb + Ab.T @ (rho_vec * z - y)
+            x_t = _cho_solve(L, rhs)
+            z_t = Ab @ x_t
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_mix = alpha * z_t + (1.0 - alpha) * z
+            z_n = jnp.clip(z_mix + y / rho_vec, lb, ub)
+            y_n = y + rho_vec * (z_mix - z_n)
+            return x_n, z_n, y_n
+        return jax.lax.fori_loop(0, k, body, (x, z, y))
+
+    def segment(carry):
+        x, z, y, rho_vec, seg_i, _, _, _ = carry
+        L = _factor(Pb, Ab, rho_vec, sigma)
+        x, z, y = admm_iters(L, rho_vec, x, z, y, opts.check_every)
+        r_prim, r_dual, eps_prim, eps_dual, Ax, z_u, Px, Aty = residuals(
+            x, z, y)
+        converged = (r_prim <= eps_prim) & (r_dual <= eps_dual)
+        if opts.adaptive_rho:
+            # OSQP rho update from the ratio of normalized residuals
+            num = r_prim / jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z_u))),
+                1e-12)
+            den = r_dual / jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+                jnp.maximum(jnp.max(jnp.abs(qp.q)), 1e-12))
+            scale = jnp.sqrt(num / jnp.maximum(den, 1e-12))
+            scale = jnp.clip(scale, 1e-3, 1e3)
+            base = jnp.clip(rho_vec * scale,
+                            _RHO_MIN, _RHO_MAX)
+            rho_vec = jnp.where(converged, rho_vec, base)
+        return x, z, y, rho_vec, seg_i + 1, r_prim, r_dual, converged
+
+    def cond(carry):
+        _, _, _, _, seg_i, _, _, converged = carry
+        return (seg_i < n_seg) & jnp.logical_not(converged)
+
+    init = (x0, z0, y0, rho0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(False))
+    x, z, y, _, seg_i, r_prim, r_dual, converged = jax.lax.while_loop(
+        cond, segment, init)
+
+    return QPSolution(
+        x=D * x, y=(E * y) / c, z=z / E,
+        iterations=seg_i * opts.check_every,
+        prim_res=r_prim, dual_res=r_dual, converged=converged)
