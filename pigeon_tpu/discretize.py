@@ -63,11 +63,17 @@ def propagate(f, q, ur, dt, substeps: int = 1):
 # Discrete linearization by jacfwd through the integrator
 # ---------------------------------------------------------------------------
 
-def linearize_zoh(f, q, ur, dt, n_keep: int):
-    """Discrete ZOH affine model by differentiating one RK4 step
-    (reference call site `src/coupled_lat_long.jl:253,336`)."""
+def linearize_zoh(f, q, ur, dt, n_keep: int, substeps: int = 1):
+    """Discrete ZOH affine model by differentiating an RK4 step
+    (reference call site `src/coupled_lat_long.jl:253,336`).
+
+    CAUTION: explicit RK4 is only stable for |lambda|*dt/substeps < 2.78;
+    the vehicle's lateral tire dynamics have |lambda| up to ~250/Ux 1/s, so
+    a single step over dt_long=0.2 produces an *amplifying* discrete model.
+    Use enough substeps, or prefer `linearize_affine_zoh` (exact,
+    unconditionally stable)."""
     def g(q_, ur_):
-        return rk4_step(f, q_, ur_, dt)
+        return propagate(f, q_, ur_, dt, substeps)
 
     A = jax.jacfwd(g, argnums=0)(q, ur)
     B_full = jax.jacfwd(g, argnums=1)(q, ur)
@@ -76,11 +82,20 @@ def linearize_zoh(f, q, ur, dt, n_keep: int):
     return A, B, c
 
 
-def linearize_foh(f, q, ur0, urf, dt, n_keep: int):
-    """Discrete FOH affine model by differentiating one ramp-input RK4 step
-    (reference call site `src/coupled_lat_long.jl:262,348`)."""
+def linearize_foh(f, q, ur0, urf, dt, n_keep: int, substeps: int = 1):
+    """Discrete FOH affine model by differentiating a ramp-input RK4 step
+    (reference call site `src/coupled_lat_long.jl:262,348`).
+    Same stability caveat as `linearize_zoh`."""
     def g(q_, ur0_, urf_):
-        return rk4_step_ramp(f, q_, ur0_, urf_, dt)
+        h = dt / substeps
+        qq = q_
+        for i in range(substeps):
+            a0 = i / substeps
+            af = (i + 1) / substeps
+            u_a = ur0_ + (urf_ - ur0_) * a0
+            u_b = ur0_ + (urf_ - ur0_) * af
+            qq = rk4_step_ramp(f, qq, u_a, u_b, h)
+        return qq
 
     A = jax.jacfwd(g, argnums=0)(q, ur0, urf)
     B0 = jax.jacfwd(g, argnums=1)(q, ur0, urf)[:, :n_keep]

@@ -1,0 +1,432 @@
+"""MPC orchestration: two-timescale time grid, linearization-node seeding
+(cold-start trim rollout / warm-start resampling), the single jitted
+`mpc_step`, and the closed-loop `simulate` rollout.
+
+Functional reimplementation of the reference's mutable 4-phase pipeline
+`compute_time_steps! -> compute_linearization_nodes! -> update_QP! ->
+solve!` (`src/model_predictive_control.jl:70-78`,
+`src/coupled_lat_long.jl:62-142`, `src/ros_integration.jl:94-103`): all
+mutable controller state becomes the explicit `MPCCarry`, and the whole
+step — projection, rollout, linearization, assembly, ADMM, extraction, HJI
+filtering, NaN fallback — is one XLA program, vmappable over scenarios.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pigeon_tpu import discretize as dz
+from pigeon_tpu import dynamics as dyn
+from pigeon_tpu import hji as hji_mod
+from pigeon_tpu import trajectory as trj
+from pigeon_tpu.config import (CoupledControlParams, DecoupledControlParams,
+                               HorizonParams, SolverOptions, VehicleParams)
+from pigeon_tpu.math_utils import adiff
+from pigeon_tpu.qp import coupled as qp_coupled
+from pigeon_tpu.qp import decoupled as qp_decoupled
+from pigeon_tpu.solver.admm import QPSolution, QPWarmStart, solve_qp
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static controller configuration (hashable -> one compiled program
+    per config)."""
+
+    veh: VehicleParams
+    hz: HorizonParams
+    coupled: CoupledControlParams = CoupledControlParams()
+    decoupled: DecoupledControlParams = DecoupledControlParams()
+    solver: SolverOptions = SolverOptions()
+    formulation: str = "coupled"          # "coupled" | "decoupled"
+    timed_mode: bool = False              # reference tracking_mode :traj
+    hji_eps: float = 0.05                 # reference HJI_eps (Pigeon.jl:67)
+    use_hji_policy: bool = False          # "hammer" override flag
+    sim_substeps: int = 1
+    warm_nodes: bool = True               # resample prev solution as nodes
+                                          # (reference coupled warm branch)
+
+
+def x1_coupled_config(**kw) -> MPCConfig:
+    """The live coupled singleton: N_short=5, N_long=10
+    (reference `src/Pigeon.jl:35`)."""
+    from pigeon_tpu.config import x1_params
+    hz = kw.pop("hz", HorizonParams(N_short=5, N_long=10))
+    return MPCConfig(veh=x1_params(), hz=hz, formulation="coupled", **kw)
+
+
+def x1_decoupled_config(**kw) -> MPCConfig:
+    """The decoupled singleton: N_short=10, N_long=20
+    (reference `src/Pigeon.jl:34`)."""
+    from pigeon_tpu.config import x1_params
+    hz = kw.pop("hz", HorizonParams(N_short=10, N_long=20))
+    return MPCConfig(veh=x1_params(), hz=hz, formulation="decoupled", **kw)
+
+
+# ---------------------------------------------------------------------------
+# Time grid (reference MPCTimeSteps / compute_time_steps!,
+# src/model_predictive_control.jl:1-30)
+# ---------------------------------------------------------------------------
+
+def compute_time_steps(hz: HorizonParams, t0):
+    S, Lg = hz.N_short, hz.N_long
+    dts, dtl = hz.dt_short, hz.dt_long
+    t0 = jnp.asarray(t0)
+    ts_short = t0 + dts * jnp.arange(S + 1, dtype=t0.dtype)
+    t0_long = t0 + S * dts
+    if hz.use_correction_step:
+        t0_long = dtl * jnp.ceil((t0_long + dts) / dtl - 1.0)
+    ts_long = t0_long + dtl * jnp.arange(1, Lg + 1, dtype=t0.dtype)
+    ts = jnp.concatenate([ts_short, ts_long])
+    return ts, jnp.diff(ts)
+
+
+# ---------------------------------------------------------------------------
+# Carry state
+# ---------------------------------------------------------------------------
+
+class MPCCarry(NamedTuple):
+    """All controller state threaded between steps — the functional analog
+    of the reference's mutable TrajectoryTrackingMPC fields + OSQP warm
+    memory (SURVEY.md §7 "Warm-start semantics")."""
+
+    prev_ts: jnp.ndarray         # (N,)
+    q_prev: jnp.ndarray          # (N, nx) previous solution states
+    u_prev: jnp.ndarray          # (N, 2) previous solution controls (physical)
+    solved: jnp.ndarray          # () bool — warm data valid
+    warm_x: jnp.ndarray          # (n,) ADMM warm start
+    warm_y: jnp.ndarray          # (m,)
+    warm_z: jnp.ndarray          # (m,)
+    current_control: jnp.ndarray  # (3,) last commanded (delta, Fxf, Fxr)
+    nan_fallback: jnp.ndarray    # () bool — previous step already fell back
+    warm_rho: jnp.ndarray        # () adapted ADMM rho multiplier
+
+
+class StepDiagnostics(NamedTuple):
+    s: jnp.ndarray
+    e: jnp.ndarray
+    V_hji: jnp.ndarray
+    hji_active: jnp.ndarray
+    iterations: jnp.ndarray
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    converged: jnp.ndarray
+    solution_finite: jnp.ndarray
+
+
+def init_carry(cfg: MPCConfig, dtype=jnp.float32) -> MPCCarry:
+    hz = cfg.hz
+    N = hz.N
+    nx = 6 if cfg.formulation == "coupled" else 4
+    if cfg.formulation == "coupled":
+        L = qp_coupled.get_layout(hz)
+    else:
+        L = qp_decoupled.get_layout(hz)
+    return MPCCarry(
+        prev_ts=jnp.arange(1, N + 1, dtype=dtype),
+        q_prev=jnp.zeros((N, nx), dtype),
+        u_prev=jnp.zeros((N, 2), dtype),
+        solved=jnp.asarray(False),
+        warm_x=jnp.zeros(L.n, dtype),
+        warm_y=jnp.zeros(L.m, dtype),
+        warm_z=jnp.zeros(L.m, dtype),
+        current_control=jnp.zeros(3, dtype),
+        nan_fallback=jnp.asarray(False),
+        warm_rho=jnp.ones((), dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linearization nodes — coupled (reference src/coupled_lat_long.jl:62-142)
+# ---------------------------------------------------------------------------
+
+def _accel_desired(cfg, tj_A, tj_V, V, ds_i, tau):
+    """Feedforward accel law (reference :115-116 / decoupled :76-77)."""
+    ctl = cfg.coupled if cfg.formulation == "coupled" else cfg.decoupled
+    A = tj_A + ctl.k_V * (tj_V - V) / tau
+    if cfg.timed_mode:
+        A = A - ctl.k_s * ds_i / (tau * tau)
+    return jnp.clip(A, (ctl.V_min - V) / tau, (ctl.V_max - V) / tau)
+
+
+def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
+    veh, hz = cfg.veh, cfg.hz
+    S, N = hz.N_short, hz.N
+    s0, e0, _ = trj.path_coordinates(tube, q0[:2])
+    tj0 = trj.eval_arclength(tube, s0)
+    dpsi0 = adiff(q0[2], tj0.psi)
+    u20 = jnp.stack([u0[0], u0[1] + u0[2]])
+
+    sD, cD = jnp.sin(dpsi0), jnp.cos(dpsi0)
+    V = q0[3] * cD - q0[4] * sD           # reference :106
+    beta0 = jnp.arctan2(q0[4], q0[3])
+    r0, delta0 = q0[5], u0[0]
+    Fyf0, _ = dyn.lateral_tire_forces(veh, q0[3], q0[4], q0[5], u0)
+
+    s = s0
+    qs, us, ps = [], [], []
+    for i in range(N):
+        tau = dt[i] if i < N - 1 else dt[N - 2]
+        tj = trj.eval_arclength(tube, s)
+        ds_i = s - trj.eval_time(tube, ts[i]).s
+        A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
+        if i == 0:
+            q = jnp.stack([ds_i, q0[3], q0[4], q0[5], dpsi0, e0])
+            u = u20
+            p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
+            qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20,
+                                   jnp.zeros(4, q0.dtype))
+            A = (qdot[3] - q0[5] * q0[4]) * cD - (qdot[4] + q0[5] * q0[3]) * sD
+        elif i <= S:
+            est = dyn.steady_state_estimates(
+                veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
+                delta0=delta0, Fyf0=Fyf0)
+            q = jnp.stack([ds_i, q0[3], q0[4], q0[5],
+                           adiff(q0[2], tj.psi), e0])
+            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
+            p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
+            A = est.A
+        else:
+            est = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
+                                             num_iters=4)
+            q = jnp.stack([ds_i, est.Ux, est.Uy, est.r, -est.beta, 0.0 * s])
+            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
+            p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
+            A = est.A
+        qs.append(q); us.append(u); ps.append(p)
+        if i < N - 1:
+            V = V + A * tau                # reference :138-139: s uses new V
+            s = s + V * tau + A * tau * tau / 2.0
+    return jnp.stack(qs), jnp.stack(us), jnp.stack(ps)
+
+
+def _nodes_coupled_warm(cfg: MPCConfig, tube, q0, u0, ts, carry: MPCCarry):
+    """Resample the previous solution onto the new grid
+    (reference :83-102)."""
+    s0, e0, _ = trj.path_coordinates(tube, q0[:2])
+    tj0 = trj.eval_arclength(tube, s0)
+    ds0 = s0 - trj.eval_time(tube, ts[0]).s
+    q_node0 = jnp.stack([ds0, q0[3], q0[4], q0[5], adiff(q0[2], tj0.psi), e0])
+    u_node0 = jnp.stack([u0[0], u0[1] + u0[2]])
+    p_node0 = jnp.stack([tj0.V, tj0.kappa, 0.0 * s0, 0.0 * s0])
+
+    tq = jnp.clip(ts[1:], carry.prev_ts[0], carry.prev_ts[-1])
+    interp_cols = lambda Y: jax.vmap(
+        lambda col: jnp.interp(tq, carry.prev_ts, col), in_axes=1,
+        out_axes=1)(Y)
+    q_tail = interp_cols(carry.q_prev)
+    u_tail = interp_cols(carry.u_prev)
+    s_tail = jax.vmap(lambda t: trj.eval_time(tube, t).s)(ts[1:]) \
+        + q_tail[:, 0]
+    tj = jax.vmap(lambda s: trj.eval_arclength(tube, s))(s_tail)
+    p_tail = jnp.stack([tj.V, tj.kappa, jnp.zeros_like(tj.V),
+                        jnp.zeros_like(tj.V)], axis=-1)
+    qs = jnp.concatenate([q_node0[None], q_tail])
+    us = jnp.concatenate([u_node0[None], u_tail])
+    ps = jnp.concatenate([p_node0[None], p_tail])
+    return qs, us, ps
+
+
+# ---------------------------------------------------------------------------
+# Linearization nodes — decoupled (reference src/decoupled_lat_long.jl:52-104;
+# always cold/trim-seeded: the reference decoupled MPC has no warm branch)
+# ---------------------------------------------------------------------------
+
+def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
+    veh, hz = cfg.veh, cfg.hz
+    S, N = hz.N_short, hz.N
+    s0, e0, _ = trj.path_coordinates(tube, q0[:2])
+    V = jnp.hypot(q0[3], q0[4])            # reference :67
+    beta0 = jnp.arctan2(q0[4], q0[3])
+    r0, delta0 = q0[5], u0[0]
+    Fyf0, _ = dyn.lateral_tire_forces(veh, q0[3], q0[4], q0[5], u0)
+    u20 = jnp.stack([u0[0], u0[1] + u0[2]])
+
+    s = s0
+    qs, us, ps = [], [], []
+    for i in range(N):
+        tau = dt[i] if i < N - 1 else dt[N - 2]
+        tj = trj.eval_arclength(tube, s)
+        ds_i = trj.eval_time(tube, ts[i]).s - s
+        A_des = _accel_desired(cfg, tj.A, tj.V, V, -ds_i, tau)
+        if i == 0:
+            q = jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0])
+            u = u20
+            p = jnp.stack([q0[3], tj.kappa, 0.0 * s, 0.0 * s])
+            qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20,
+                                   jnp.zeros(4, q0.dtype))
+            A = ((qdot[3] - q0[5] * q0[4]) * jnp.cos(beta0)
+                 + (qdot[4] + q0[5] * q0[3]) * jnp.sin(beta0))
+        elif i <= S:
+            est = dyn.steady_state_estimates(
+                veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
+                delta0=delta0, Fyf0=Fyf0)
+            q = jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0])
+            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
+            p = jnp.stack([est.Ux, tj.kappa, 0.0 * s, 0.0 * s])
+            A = est.A
+        else:
+            est = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
+                                             num_iters=4)
+            q = jnp.stack([est.Uy, est.r, -est.beta, 0.0 * s])
+            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
+            p = jnp.stack([est.Ux, tj.kappa, 0.0 * s, 0.0 * s])
+            A = est.A
+        qs.append(q); us.append(u); ps.append(p)
+        if i < N - 1:
+            V = V + A * tau
+            s = s + V * tau + A * tau * tau / 2.0
+    return jnp.stack(qs), jnp.stack(us), jnp.stack(ps)
+
+
+# ---------------------------------------------------------------------------
+# The MPC step
+# ---------------------------------------------------------------------------
+
+def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
+             cache: hji_mod.HJICache, carry: MPCCarry, q0, u0, other_car, t):
+    """One full control step.  Pure function of its inputs; vmap over
+    (tube, carry, q0, u0, other_car, t) for scenario batching.
+
+    Mirrors the reference callback pipeline `src/ros_integration.jl:94-150`
+    (4-phase MPC + HJI override + NaN fallback).
+    Returns (new_carry, u3_command, diagnostics).
+    """
+    veh, hz = cfg.veh, cfg.hz
+    ts, dt = compute_time_steps(hz, t)
+    s0, e0, _ = trj.path_coordinates(tube, q0[:2])
+
+    if cfg.formulation == "coupled":
+        cold = _nodes_coupled_cold(cfg, tube, q0, u0, ts, dt)
+        if cfg.warm_nodes:
+            warm = _nodes_coupled_warm(cfg, tube, q0, u0, ts, carry)
+            qs, us, ps = jax.tree.map(
+                lambda c, w: jnp.where(carry.solved, w, c), cold, warm)
+        else:
+            qs, us, ps = cold
+
+        u_lin = jnp.stack([u0[0], u0[1] + u0[2]])
+        x_rel = hji_mod.relative_state(q0, other_car)
+        if cfg.coupled.use_hji:
+            M, b, V_hji, gradV = hji_mod.reachability_constraint(
+                veh, cache, x_rel, cfg.hji_eps, u_lin)
+        else:
+            M = jnp.zeros(2, q0.dtype)
+            b = jnp.ones((), q0.dtype)
+            V_hji = jnp.asarray(jnp.inf, q0.dtype)
+            gradV = jnp.zeros(7, q0.dtype)
+
+        data = qp_coupled.CoupledStageData(dt=dt, qs=qs, us=us, ps=ps,
+                                           hji_M=M, hji_b=b)
+        qp = qp_coupled.build_qp(veh, cfg.coupled, hz, data)
+    else:
+        qs, us, ps = _nodes_decoupled(cfg, tube, q0, u0, ts, dt)
+        V_hji = jnp.asarray(jnp.inf, q0.dtype)
+        gradV = jnp.zeros(7, q0.dtype)
+        x_rel = hji_mod.relative_state(q0, other_car)
+        data = qp_decoupled.DecoupledStageData(dt=dt, qs=qs, us=us, ps=ps)
+        qp = qp_decoupled.build_qp(veh, cfg.decoupled, hz, data)
+
+    warm_start = QPWarmStart(
+        x=jnp.where(carry.solved, carry.warm_x, 0.0),
+        y=jnp.where(carry.solved, carry.warm_y, 0.0),
+        z=jnp.where(carry.solved, carry.warm_z, 0.0),
+        rho_scale=jnp.where(carry.solved, carry.warm_rho, 1.0))
+    sol = solve_qp(qp, warm=warm_start, opts=cfg.solver)
+
+    if cfg.formulation == "coupled":
+        u2 = qp_coupled.extract_control(veh, hz, sol.x)
+        q_sol, u_sol = qp_coupled.extract_trajectory(hz, sol.x, veh)
+    else:
+        u2 = qp_decoupled.extract_control(hz, sol.x, us)
+        L = qp_decoupled.get_layout(hz)
+        q_sol, u_sol = sol.x[L.q], jnp.stack(
+            [sol.x[L.d], us[:, 1]], axis=-1)
+
+    # Actuation clamp on the commanded control (robustness deviation from
+    # the reference, which publishes the raw QP value: the autobox ECU
+    # enforces these limits physically, and a non-converged ADMM iterate
+    # can otherwise exceed them; reference relies on OSQP's 4000-iteration
+    # budget instead).
+    u2 = dyn.apply_control_limits(veh, u2, q0[3])
+    Fxf, Fxr = dyn.longitudinal_split(veh, u2[1])
+    u3 = jnp.stack([u2[0], Fxf, Fxr])
+
+    finite = jnp.all(jnp.isfinite(u3))
+    fallback = jnp.where(carry.nan_fallback, jnp.zeros(3, u3.dtype),
+                         carry.current_control)
+    u3_out = jnp.where(finite, u3, fallback)
+
+    # HJI least-restrictive override ("hammer"; reference
+    # src/ros_integration.jl:115-125)
+    hji_active = V_hji <= cfg.hji_eps
+    if cfg.formulation == "coupled" and cfg.use_hji_policy:
+        u2_opt = hji_mod.optimal_control(veh, x_rel, gradV)
+        Fxf_o, Fxr_o = dyn.longitudinal_split(veh, u2_opt[1])
+        u3_opt = jnp.stack([u2_opt[0], Fxf_o, Fxr_o])
+        u3_out = jnp.where(hji_active, u3_opt, u3_out)
+
+    new_carry = MPCCarry(
+        prev_ts=ts,
+        q_prev=jnp.where(finite, q_sol, carry.q_prev),
+        u_prev=jnp.where(finite, u_sol, carry.u_prev),
+        solved=finite,
+        warm_x=jnp.where(finite, sol.x, 0.0),
+        warm_y=jnp.where(finite, sol.y, 0.0),
+        warm_z=jnp.where(finite, sol.z, 0.0),
+        current_control=u3_out,
+        nan_fallback=jnp.logical_not(finite),
+        warm_rho=jnp.where(finite, sol.rho_scale, 1.0),
+    )
+    diag = StepDiagnostics(
+        s=s0, e=e0, V_hji=V_hji, hji_active=hji_active,
+        iterations=sol.iterations, prim_res=sol.prim_res,
+        dual_res=sol.dual_res, converged=sol.converged,
+        solution_finite=finite)
+    return new_carry, u3_out, diag
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop simulation (reference `simulate`,
+# src/model_predictive_control.jl:80-100)
+# ---------------------------------------------------------------------------
+
+class SimLog(NamedTuple):
+    q: jnp.ndarray        # (n_steps, 6) plant states
+    u: jnp.ndarray        # (n_steps, 3) commands in effect
+    diag: StepDiagnostics  # stacked
+
+
+def simulate(cfg: MPCConfig, tube: trj.TrajectoryTube,
+             cache: hji_mod.HJICache, q0, u0=None, other_car=None,
+             dt: float = 0.01, n_steps: int = 100) -> SimLog:
+    """Closed loop: log -> MPC step -> propagate plant with the *previous*
+    control -> adopt the new command, exactly mirroring the reference loop
+    order (src/model_predictive_control.jl:87-98)."""
+    veh = cfg.veh
+    if u0 is None:
+        u0 = jnp.zeros(3, q0.dtype)
+    if other_car is None:
+        other_car = jnp.asarray([1e4, 1e4, 0.0, 0.0], q0.dtype)
+
+    def f(q, ur):
+        return dyn.vehicle_ode(veh, "bicycle", q, ur[:2], ur[2:])
+
+    def body(state, i):
+        q, u, carry = state
+        t = i * dt
+        carry, u_next, diag = mpc_step(cfg, tube, cache, carry, q, u,
+                                       other_car, t)
+        u2 = jnp.stack([u[0], u[1] + u[2]])
+        ur = jnp.concatenate([u2, jnp.zeros(4, q.dtype)])
+        q_next = dz.propagate(f, q, ur, dt, substeps=cfg.sim_substeps)
+        return (q_next, u_next, carry), (q, u, diag)
+
+    carry0 = init_carry(cfg, dtype=q0.dtype)
+    (_, _, _), (q_log, u_log, diag_log) = jax.lax.scan(
+        body, (q0, u0, carry0), jnp.arange(n_steps))
+    return SimLog(q=q_log, u=u_log, diag=diag_log)

@@ -1,0 +1,145 @@
+"""Scale-out: scenario batching over a device mesh.
+
+The reference is single-process / single-threaded on the hot path; its only
+"distributed backend" is ROS pub/sub between OS processes (SURVEY.md §2
+"Parallelism inventory", reference `src/ros_integration.jl:158-169`).  The
+TPU build *creates* the scaling axes:
+
+- **data parallel (primary)**: thousands of independent MPC scenario
+  instances batched per chip via `vmap`, sharded across chips/hosts with
+  `jax.sharding.NamedSharding` over a Mesh; XLA inserts the (nil, for pure
+  DP) collectives and the per-shard work runs on ICI-connected devices.
+- metric aggregation across the mesh is a `psum`-shaped reduction done by
+  jnp reductions over sharded arrays (XLA lowers to ICI all-reduce).
+
+All controller state is an explicit pytree (`MPCCarry`), so scaling is
+"shard the leading axis of everything" — no parameter servers, no
+cross-instance communication on the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pigeon_tpu import hji as hji_mod
+from pigeon_tpu import mpc as mpc_mod
+from pigeon_tpu import trajectory as trj
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    """1-D scenario-parallel mesh over the first n devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "dp"):
+    """Place a batch pytree with its leading axis sharded over `axis`."""
+    def put(x):
+        spec = P(*((axis,) + (None,) * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.tree.map(put, tree)
+
+
+class BatchState(NamedTuple):
+    carry: mpc_mod.MPCCarry     # leading batch axis on every leaf
+    q: jnp.ndarray              # (B, 6) plant states
+    u: jnp.ndarray              # (B, 3) commands in effect
+
+
+class BatchedController:
+    """Batched (and optionally mesh-sharded) closed-loop controller: the
+    Monte-Carlo / fleet-scale execution engine (BASELINE.json
+    `dynamic_obstacle` config: 10k batched scenario rollouts).
+
+    One shared trajectory tube + HJI cache (replicated), B independent
+    scenario states (sharded).  `step` advances every scenario one control
+    period; `rollout` scans n steps on device.
+    """
+
+    def __init__(self, cfg: mpc_mod.MPCConfig, tube: trj.TrajectoryTube,
+                 cache: hji_mod.HJICache | None = None,
+                 mesh: Mesh | None = None, dt: float = 0.01):
+        self.cfg = cfg
+        self.dt = dt
+        self.mesh = mesh
+        self.tube = tube
+        self.cache = cache if cache is not None else hji_mod.inactive_cache()
+        if mesh is not None:
+            self.tube = replicate(self.tube, mesh)
+            self.cache = replicate(self.cache, mesh)
+
+        cfg_ = self.cfg
+        tube_ = self.tube
+        cache_ = self.cache
+
+        def _step(state: BatchState, other_car, t):
+            def one(carry, q, u, oc):
+                return mpc_mod.mpc_step(cfg_, tube_, cache_, carry, q, u,
+                                        oc, t)
+            carry, u3, diag = jax.vmap(one)(state.carry, state.q, state.u,
+                                            other_car)
+            import pigeon_tpu.discretize as dz
+            import pigeon_tpu.dynamics as dyn
+
+            def f(qq, ur):
+                return dyn.vehicle_ode(cfg_.veh, "bicycle", qq, ur[:2],
+                                       ur[2:])
+
+            def plant(q, u):
+                ur = jnp.concatenate([jnp.stack([u[0], u[1] + u[2]]),
+                                      jnp.zeros(4, q.dtype)])
+                return dz.propagate(f, q, ur, dt, cfg_.sim_substeps)
+
+            q_next = jax.vmap(plant)(state.q, state.u)
+            return BatchState(carry=carry, q=q_next, u=u3), diag
+
+        self._step = jax.jit(_step)
+
+        def _rollout(state: BatchState, other_car, t0, n_steps):
+            def body(st, i):
+                st, diag = _step(st, other_car, t0 + i * dt)
+                return st, (st.q, st.u, diag)
+            return jax.lax.scan(body, state, jnp.arange(n_steps))
+
+        self._rollout = jax.jit(_rollout, static_argnums=(3,))
+
+    def init_state(self, q0_batch, u0_batch=None) -> BatchState:
+        B = q0_batch.shape[0]
+        dtype = q0_batch.dtype
+        carry = mpc_mod.init_carry(self.cfg, dtype=dtype)
+        carry_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), carry)
+        u0 = (jnp.zeros((B, 3), dtype) if u0_batch is None else u0_batch)
+        state = BatchState(carry=carry_b, q=q0_batch, u=u0)
+        if self.mesh is not None:
+            state = shard_batch(state, self.mesh)
+        return state
+
+    def step(self, state: BatchState, other_car=None, t=0.0):
+        if other_car is None:
+            B = state.q.shape[0]
+            other_car = jnp.broadcast_to(
+                jnp.asarray([1e4, 1e4, 0.0, 0.0], state.q.dtype), (B, 4))
+        return self._step(state, other_car, jnp.asarray(t, state.q.dtype))
+
+    def rollout(self, state: BatchState, n_steps: int, other_car=None,
+                t0=0.0):
+        if other_car is None:
+            B = state.q.shape[0]
+            other_car = jnp.broadcast_to(
+                jnp.asarray([1e4, 1e4, 0.0, 0.0], state.q.dtype), (B, 4))
+        return self._rollout(state, other_car,
+                             jnp.asarray(t0, state.q.dtype), n_steps)

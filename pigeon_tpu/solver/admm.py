@@ -53,6 +53,9 @@ class QPWarmStart(NamedTuple):
     x: jnp.ndarray       # (n,)
     y: jnp.ndarray       # (m,) dual
     z: jnp.ndarray       # (m,) constraint-space iterate
+    rho_scale: jnp.ndarray = None  # () adapted rho multiplier from a
+    #                                  previous solve (OSQP keeps its
+    #                                  adapted rho across warm solves)
 
 
 class QPSolution(NamedTuple):
@@ -63,13 +66,15 @@ class QPSolution(NamedTuple):
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     converged: jnp.ndarray
+    rho_scale: jnp.ndarray
 
 
 def cold_start(qp: QPData) -> QPWarmStart:
     n = qp.q.shape[-1]
     m = qp.l.shape[-1]
     z = jnp.zeros(m, qp.q.dtype)
-    return QPWarmStart(x=jnp.zeros(n, qp.q.dtype), y=z, z=z)
+    return QPWarmStart(x=jnp.zeros(n, qp.q.dtype), y=z, z=z,
+                       rho_scale=jnp.ones((), qp.q.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -143,8 +148,10 @@ def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
 
     # Per-row rho: equality rows (l == u) get the stiff scaling, like OSQP.
     is_eq = (qp.u - qp.l) < 1e-10
-    rho0 = jnp.where(is_eq, opts.rho * opts.rho_eq_scale, opts.rho
-                     ).astype(dtype)
+    rho_base = jnp.where(is_eq, opts.rho * opts.rho_eq_scale, opts.rho
+                         ).astype(dtype)
+    rho_scale0 = (jnp.asarray(1.0, dtype) if warm.rho_scale is None
+                  else jnp.clip(warm.rho_scale, 1e-6, 1e6).astype(dtype))
 
     # scale the warm start into the equilibrated space
     x0 = warm.x / D
@@ -184,7 +191,8 @@ def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
         return jax.lax.fori_loop(0, k, body, (x, z, y))
 
     def segment(carry):
-        x, z, y, rho_vec, seg_i, _, _, _ = carry
+        x, z, y, rho_scale, seg_i, _, _, _ = carry
+        rho_vec = jnp.clip(rho_base * rho_scale, _RHO_MIN, _RHO_MAX)
         L = _factor(Pb, Ab, rho_vec, sigma)
         x, z, y = admm_iters(L, rho_vec, x, z, y, opts.check_every)
         r_prim, r_dual, eps_prim, eps_dual, Ax, z_u, Px, Aty = residuals(
@@ -200,22 +208,22 @@ def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
                 jnp.maximum(jnp.max(jnp.abs(qp.q)), 1e-12))
             scale = jnp.sqrt(num / jnp.maximum(den, 1e-12))
             scale = jnp.clip(scale, 1e-3, 1e3)
-            base = jnp.clip(rho_vec * scale,
-                            _RHO_MIN, _RHO_MAX)
-            rho_vec = jnp.where(converged, rho_vec, base)
-        return x, z, y, rho_vec, seg_i + 1, r_prim, r_dual, converged
+            new_scale = jnp.clip(rho_scale * scale, 1e-6, 1e6)
+            rho_scale = jnp.where(converged, rho_scale, new_scale)
+        return x, z, y, rho_scale, seg_i + 1, r_prim, r_dual, converged
 
     def cond(carry):
         _, _, _, _, seg_i, _, _, converged = carry
         return (seg_i < n_seg) & jnp.logical_not(converged)
 
-    init = (x0, z0, y0, rho0, jnp.asarray(0, jnp.int32),
+    init = (x0, z0, y0, rho_scale0, jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
             jnp.asarray(False))
-    x, z, y, _, seg_i, r_prim, r_dual, converged = jax.lax.while_loop(
+    x, z, y, rho_scale, seg_i, r_prim, r_dual, converged = jax.lax.while_loop(
         cond, segment, init)
 
     return QPSolution(
         x=D * x, y=(E * y) / c, z=z / E,
         iterations=seg_i * opts.check_every,
-        prim_res=r_prim, dual_res=r_dual, converged=converged)
+        prim_res=r_prim, dual_res=r_dual, converged=converged,
+        rho_scale=rho_scale)
