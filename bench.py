@@ -32,6 +32,16 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the full mpc_step graph is large and
+    # this environment compiles remotely; cache across runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from pigeon_tpu import hji as H

@@ -154,6 +154,9 @@ def _accel_desired(cfg, tj_A, tj_V, V, ds_i, tau):
 
 
 def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
+    """Stage 0 explicit + stages 1..N-1 as a lax.scan with branch selects
+    (one compiled stage body instead of N unrolled copies — the unrolled
+    version dominated XLA compile time)."""
     veh, hz = cfg.veh, cfg.hz
     S, N = hz.N_short, hz.N
     s0, e0, _ = trj.path_coordinates(tube, q0[:2])
@@ -162,46 +165,56 @@ def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
     u20 = jnp.stack([u0[0], u0[1] + u0[2]])
 
     sD, cD = jnp.sin(dpsi0), jnp.cos(dpsi0)
-    V = q0[3] * cD - q0[4] * sD           # reference :106
+    V0 = q0[3] * cD - q0[4] * sD          # reference :106
     beta0 = jnp.arctan2(q0[4], q0[3])
     r0, delta0 = q0[5], u0[0]
     Fyf0, _ = dyn.lateral_tire_forces(veh, q0[3], q0[4], q0[5], u0)
 
-    s = s0
-    qs, us, ps = [], [], []
-    for i in range(N):
-        tau = dt[i] if i < N - 1 else dt[N - 2]
+    # stage 0 (reference :117-120)
+    ds0 = s0 - trj.eval_time(tube, ts[0]).s
+    q_0 = jnp.stack([ds0, q0[3], q0[4], q0[5], dpsi0, e0])
+    p_0 = jnp.stack([tj0.V, tj0.kappa, 0.0 * s0, 0.0 * s0])
+    qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20, jnp.zeros(4, q0.dtype))
+    A_0 = (qdot[3] - q0[5] * q0[4]) * cD - (qdot[4] + q0[5] * q0[3]) * sD
+
+    tau0 = dt[0]
+    V1 = V0 + A_0 * tau0                   # reference :138-139 update order
+    s1 = s0 + V1 * tau0 + A_0 * tau0 * tau0 / 2.0
+
+    taus = jnp.concatenate([dt[1:], dt[N - 2:N - 1]])   # tau for i=1..N-1
+    idx = jnp.arange(1, N)
+
+    def body(carry, inp):
+        V, s = carry
+        i, tau, t_i = inp
         tj = trj.eval_arclength(tube, s)
-        ds_i = s - trj.eval_time(tube, ts[i]).s
+        ds_i = s - trj.eval_time(tube, t_i).s
         A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
-        if i == 0:
-            q = jnp.stack([ds_i, q0[3], q0[4], q0[5], dpsi0, e0])
-            u = u20
-            p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
-            qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20,
-                                   jnp.zeros(4, q0.dtype))
-            A = (qdot[3] - q0[5] * q0[4]) * cD - (qdot[4] + q0[5] * q0[3]) * sD
-        elif i <= S:
-            est = dyn.steady_state_estimates(
-                veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
-                delta0=delta0, Fyf0=Fyf0)
-            q = jnp.stack([ds_i, q0[3], q0[4], q0[5],
-                           adiff(q0[2], tj.psi), e0])
-            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
-            p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
-            A = est.A
-        else:
-            est = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
-                                             num_iters=4)
-            q = jnp.stack([ds_i, est.Ux, est.Uy, est.r, -est.beta, 0.0 * s])
-            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
-            p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
-            A = est.A
-        qs.append(q); us.append(u); ps.append(p)
-        if i < N - 1:
-            V = V + A * tau                # reference :138-139: s uses new V
-            s = s + V * tau + A * tau * tau / 2.0
-    return jnp.stack(qs), jnp.stack(us), jnp.stack(ps)
+        short = i <= S
+        est1 = dyn.steady_state_estimates(
+            veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
+            delta0=delta0, Fyf0=Fyf0)
+        est4 = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
+                                          num_iters=4)
+        q_short = jnp.stack([ds_i, q0[3], q0[4], q0[5],
+                             adiff(q0[2], tj.psi), e0])
+        q_long = jnp.stack([ds_i, est4.Ux, est4.Uy, est4.r, -est4.beta,
+                            0.0 * s])
+        q = jnp.where(short, q_short, q_long)
+        u = jnp.where(short,
+                      jnp.stack([est1.delta, est1.Fxf + est1.Fxr]),
+                      jnp.stack([est4.delta, est4.Fxf + est4.Fxr]))
+        p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
+        A = jnp.where(short, est1.A, est4.A)
+        V_n = V + A * tau
+        s_n = s + V_n * tau + A * tau * tau / 2.0
+        return (V_n, s_n), (q, u, p)
+
+    _, (q_t, u_t, p_t) = jax.lax.scan(body, (V1, s1), (idx, taus, ts[1:]))
+    qs = jnp.concatenate([q_0[None], q_t])
+    us = jnp.concatenate([u20[None], u_t])
+    ps = jnp.concatenate([p_0[None], p_t])
+    return qs, us, ps
 
 
 def _nodes_coupled_warm(cfg: MPCConfig, tube, q0, u0, ts, carry: MPCCarry):
@@ -240,47 +253,57 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
     veh, hz = cfg.veh, cfg.hz
     S, N = hz.N_short, hz.N
     s0, e0, _ = trj.path_coordinates(tube, q0[:2])
-    V = jnp.hypot(q0[3], q0[4])            # reference :67
+    V0 = jnp.hypot(q0[3], q0[4])           # reference :67
     beta0 = jnp.arctan2(q0[4], q0[3])
     r0, delta0 = q0[5], u0[0]
     Fyf0, _ = dyn.lateral_tire_forces(veh, q0[3], q0[4], q0[5], u0)
     u20 = jnp.stack([u0[0], u0[1] + u0[2]])
 
-    s = s0
-    qs, us, ps = [], [], []
-    for i in range(N):
-        tau = dt[i] if i < N - 1 else dt[N - 2]
+    tj0 = trj.eval_arclength(tube, s0)
+    q_0 = jnp.stack([q0[4], q0[5], adiff(q0[2], tj0.psi), e0])
+    p_0 = jnp.stack([q0[3], tj0.kappa, 0.0 * s0, 0.0 * s0])
+    qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20, jnp.zeros(4, q0.dtype))
+    A_0 = ((qdot[3] - q0[5] * q0[4]) * jnp.cos(beta0)
+           + (qdot[4] + q0[5] * q0[3]) * jnp.sin(beta0))
+
+    tau0 = dt[0]
+    V1 = V0 + A_0 * tau0
+    s1 = s0 + V1 * tau0 + A_0 * tau0 * tau0 / 2.0
+
+    taus = jnp.concatenate([dt[1:], dt[N - 2:N - 1]])
+    idx = jnp.arange(1, N)
+
+    def body(carry, inp):
+        V, s = carry
+        i, tau, t_i = inp
         tj = trj.eval_arclength(tube, s)
-        ds_i = trj.eval_time(tube, ts[i]).s - s
-        A_des = _accel_desired(cfg, tj.A, tj.V, V, -ds_i, tau)
-        if i == 0:
-            q = jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0])
-            u = u20
-            p = jnp.stack([q0[3], tj.kappa, 0.0 * s, 0.0 * s])
-            qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20,
-                                   jnp.zeros(4, q0.dtype))
-            A = ((qdot[3] - q0[5] * q0[4]) * jnp.cos(beta0)
-                 + (qdot[4] + q0[5] * q0[3]) * jnp.sin(beta0))
-        elif i <= S:
-            est = dyn.steady_state_estimates(
-                veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
-                delta0=delta0, Fyf0=Fyf0)
-            q = jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0])
-            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
-            p = jnp.stack([est.Ux, tj.kappa, 0.0 * s, 0.0 * s])
-            A = est.A
-        else:
-            est = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
-                                             num_iters=4)
-            q = jnp.stack([est.Uy, est.r, -est.beta, 0.0 * s])
-            u = jnp.stack([est.delta, est.Fxf + est.Fxr])
-            p = jnp.stack([est.Ux, tj.kappa, 0.0 * s, 0.0 * s])
-            A = est.A
-        qs.append(q); us.append(u); ps.append(p)
-        if i < N - 1:
-            V = V + A * tau
-            s = s + V * tau + A * tau * tau / 2.0
-    return jnp.stack(qs), jnp.stack(us), jnp.stack(ps)
+        ds_i = s - trj.eval_time(tube, t_i).s
+        A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
+        short = i <= S
+        est1 = dyn.steady_state_estimates(
+            veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
+            delta0=delta0, Fyf0=Fyf0)
+        est4 = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
+                                          num_iters=4)
+        q = jnp.where(short,
+                      jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0]),
+                      jnp.stack([est4.Uy, est4.r, -est4.beta, 0.0 * s]))
+        u = jnp.where(short,
+                      jnp.stack([est1.delta, est1.Fxf + est1.Fxr]),
+                      jnp.stack([est4.delta, est4.Fxf + est4.Fxr]))
+        p = jnp.where(short,
+                      jnp.stack([est1.Ux, tj.kappa, 0.0 * s, 0.0 * s]),
+                      jnp.stack([est4.Ux, tj.kappa, 0.0 * s, 0.0 * s]))
+        A = jnp.where(short, est1.A, est4.A)
+        V_n = V + A * tau
+        s_n = s + V_n * tau + A * tau * tau / 2.0
+        return (V_n, s_n), (q, u, p)
+
+    _, (q_t, u_t, p_t) = jax.lax.scan(body, (V1, s1), (idx, taus, ts[1:]))
+    qs = jnp.concatenate([q_0[None], q_t])
+    us = jnp.concatenate([u20[None], u_t])
+    ps = jnp.concatenate([p_0[None], p_t])
+    return qs, us, ps
 
 
 # ---------------------------------------------------------------------------
