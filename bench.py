@@ -57,9 +57,11 @@ def main():
     # number of ADMM segments -> deterministic latency (the real-time
     # launch configuration; convergence at this budget is checked below).
     cfg = M.x1_coupled_config()
+    backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
         max_iter=args.solver_iters * 2, check_every=args.solver_iters,
-        eps_abs=1e-4, eps_rel=1e-4))
+        eps_abs=1e-3, eps_rel=1e-3, backend=backend,
+        factor_method="ns" if backend == "pallas" else "chol", ns_iters=45))
 
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)

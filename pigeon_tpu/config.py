@@ -166,6 +166,13 @@ class CoupledControlParams:
     R_Fx: float = 0.0
     R_dFx: float = 0.5
     use_hji: bool = True
+    # Wall / edge collision avoidance (the reference's `both_walls` branch
+    # configuration; edge_L/edge_R fields exist in every trajectory,
+    # reference src/trajectories.jl:19-20): soft bounds
+    # edge_R + margin <= e_t <= edge_L - margin with slack weight W_wall.
+    use_walls: bool = False
+    W_wall: float = 500.0
+    wall_margin: float = 1.0   # ~half the X1's 1.87 m width
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,23 +186,29 @@ class SolverOptions:
     converges in tens of iterations and a fixed budget keeps latency
     deterministic on TPU.
 
-    eps is tighter than OSQP's 1e-3 default: in closed loop the QP solution
-    is resampled into the next step's linearization nodes, and 1e-3-sloppy
-    solutions feed an oscillation loop (solution noise -> worse nodes ->
-    harder QP).  At 1e-4 the coupled controller tracks the X1 oval paths
-    with |e| < 1e-3 m and ~50 warm-started iterations per step.
+    eps matches OSQP's 1e-3 default.  (During development a tighter 1e-4
+    was needed to mask an instability that was actually caused by RK4
+    linearization of the stiff tire modes over dt_long; with the exact expm
+    discretization, 1e-3 tracks the X1 oval paths at |e| < 1e-3 m.)
     """
 
     rho: float = 0.1
     rho_eq_scale: float = 1e3
     sigma: float = 1e-6
     alpha: float = 1.6
-    eps_abs: float = 1e-4
-    eps_rel: float = 1e-4
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
     max_iter: int = 2000
     check_every: int = 25
     scaling_iters: int = 10   # Ruiz equilibration sweeps (0 disables)
     adaptive_rho: bool = True
+    # Iteration backend: "xla" (portable) or "pallas" (TPU kernel holding
+    # A / K^-1 in VMEM across iterations — the OSQP-hot-loop replacement).
+    backend: str = "xla"
+    # KKT factorization: "chol" (exact, slow batched Cholesky on TPU) or
+    # "ns" (Newton-Schulz inverse — square MXU matmuls only).
+    factor_method: str = "chol"
+    ns_iters: int = 30
 
 
 @dataclasses.dataclass(frozen=True)

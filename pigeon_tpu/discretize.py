@@ -120,12 +120,15 @@ def expm_fixed(M, squarings: int = 8, order: int = 8):
     n = M.shape[-1]
     S = M / (2.0 ** squarings)
     eye = jnp.eye(n, dtype=M.dtype)
-    # Horner evaluation of sum_k S^k / k!
-    E = eye + S / order
-    for k in range(order - 1, 0, -1):
-        E = eye + (S @ E) / k
-    for _ in range(squarings):
-        E = E @ E
+    # full-precision matmuls: on TPU the default bf16 passes would wreck
+    # the repeated-squaring error amplification
+    with jax.default_matmul_precision("highest"):
+        # Horner evaluation of sum_k S^k / k!
+        E = eye + S / order
+        for k in range(order - 1, 0, -1):
+            E = eye + (S @ E) / k
+        for _ in range(squarings):
+            E = E @ E
     return E
 
 

@@ -123,7 +123,7 @@ def init_carry(cfg: MPCConfig, dtype=jnp.float32) -> MPCCarry:
     N = hz.N
     nx = 6 if cfg.formulation == "coupled" else 4
     if cfg.formulation == "coupled":
-        L = qp_coupled.get_layout(hz)
+        L = qp_coupled.get_layout(hz, cfg.coupled.use_walls)
     else:
         L = qp_decoupled.get_layout(hz)
     return MPCCarry(
@@ -343,8 +343,16 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
             V_hji = jnp.asarray(jnp.inf, q0.dtype)
             gradV = jnp.zeros(7, q0.dtype)
 
+        if cfg.coupled.use_walls:
+            s_nodes = jax.vmap(lambda t: trj.eval_time(tube, t).s)(ts) \
+                + qs[:, 0]
+            tj_nodes = jax.vmap(lambda s: trj.eval_arclength(tube, s))(
+                s_nodes)
+            edges = jnp.stack([tj_nodes.edge_L, tj_nodes.edge_R], axis=-1)
+        else:
+            edges = None
         data = qp_coupled.CoupledStageData(dt=dt, qs=qs, us=us, ps=ps,
-                                           hji_M=M, hji_b=b)
+                                           hji_M=M, hji_b=b, edges=edges)
         qp = qp_coupled.build_qp(veh, cfg.coupled, hz, data)
     else:
         qs, us, ps = _nodes_decoupled(cfg, tube, q0, u0, ts, dt)
@@ -362,8 +370,10 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
     sol = solve_qp(qp, warm=warm_start, opts=cfg.solver)
 
     if cfg.formulation == "coupled":
-        u2 = qp_coupled.extract_control(veh, hz, sol.x)
-        q_sol, u_sol = qp_coupled.extract_trajectory(hz, sol.x, veh)
+        u2 = qp_coupled.extract_control(veh, hz, sol.x,
+                                        cfg.coupled.use_walls)
+        q_sol, u_sol = qp_coupled.extract_trajectory(hz, sol.x, veh,
+                                                     cfg.coupled.use_walls)
     else:
         u2 = qp_decoupled.extract_control(hz, sol.x, us)
         L = qp_decoupled.get_layout(hz)

@@ -41,10 +41,11 @@ def u_normalization(veh: VehicleParams):
 class CoupledLayout:
     """Static sparsity plan for one horizon shape; build once, reuse."""
 
-    def __init__(self, hz: HorizonParams):
+    def __init__(self, hz: HorizonParams, use_walls: bool = False):
         S, Lg = hz.N_short, hz.N_long
         N, T = hz.N, hz.N_short + hz.N_long
         self.hz = hz
+        self.use_walls = use_walls
         lay = QPLayout()
         self.q = lay.add_vars((N, 6))
         self.u = lay.add_vars((N, 2))
@@ -93,14 +94,24 @@ class CoupledLayout:
         lay.entry(r, self.sig[:, [0, 0, 1, 1]])                 # -slacks
         r = lay.add_rows(T)                         # ddelta rate bounds
         lay.entry(r, self.dd)
+        if use_walls:
+            # wall/edge soft bounds on the lateral error e (the reference
+            # both_walls configuration; edges from the trajectory tube)
+            self.sw = lay.add_vars((T,))
+            r = lay.add_rows(T)                     # sw >= 0
+            lay.entry(r, self.sw)
+            r = lay.add_rows(T)                     # e - sw <= edgeL - marg
+            lay.entry(r, self.q[1:, 5]); lay.entry(r, self.sw)
+            r = lay.add_rows(T)                     # e + sw >= edgeR + marg
+            lay.entry(r, self.q[1:, 5]); lay.entry(r, self.sw)
         lay.finalize()
         self.lay = lay
         self.n, self.m = lay.n, lay.m
 
 
 @functools.lru_cache(maxsize=None)
-def get_layout(hz: HorizonParams) -> CoupledLayout:
-    return CoupledLayout(hz)
+def get_layout(hz: HorizonParams, use_walls: bool = False) -> CoupledLayout:
+    return CoupledLayout(hz, use_walls)
 
 
 class CoupledStageData(NamedTuple):
@@ -113,6 +124,8 @@ class CoupledStageData(NamedTuple):
     ps: jnp.ndarray        # (N, 4) trajectory params (V, kappa, 0, 0)
     hji_M: jnp.ndarray     # (2,) constraint row on physical u
     hji_b: jnp.ndarray     # () offset
+    edges: jnp.ndarray = None   # (N, 2) [edge_L, edge_R] at node arclengths
+    #                             (required when walls are enabled)
 
 
 def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
@@ -129,7 +142,7 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
     """
     S, Lg, N = hz.N_short, hz.N_long, hz.N
     T = S + Lg
-    L = get_layout(hz)
+    L = get_layout(hz, ctl.use_walls)
     dt, qs, us, ps = data.dt, data.qs, data.us, data.ps
     dtype = qs.dtype
     unorm = jnp.asarray(u_normalization(veh), dtype)
@@ -188,6 +201,10 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
         jnp.broadcast_to(lim.H_veh, (T, 4, 2)), neg1((T, 4)),    # envelope
         ones(T),                                     # dd bounds
     ]
+    if ctl.use_walls:
+        values += [ones(T),                          # sw >= 0
+                   ones(T), neg1(T),                 # e - sw
+                   ones(T), ones(T)]                 # e + sw
     A = L.lay.assemble_A(values)
 
     big = jnp.asarray(INF, dtype)
@@ -217,7 +234,10 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
         d_max,
         (lim.G_veh).reshape(-1),                     # envelope upper
         dd_lim,
-    ])
+    ] + ([jnp.full(T, big),
+          data.edges[1:, 0] - ctl.wall_margin,       # e - sw <= edgeL - m
+          jnp.full(T, big),
+          ] if ctl.use_walls else []))
 
     # Objective.  Parametron's x'Qx convention -> our 1/2 x'Px needs P=2Q.
     P = jnp.zeros(L.n, dtype)
@@ -233,21 +253,25 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
     qlin = qlin.at[L.sig[:, 1]].set(ctl.W_r * dt)
     w_hji = jnp.where(jnp.arange(S) < ctl.N_HJI, ctl.W_HJI, 0.0).astype(dtype)
     qlin = qlin.at[L.sHJI].set(w_hji)
+    if ctl.use_walls:
+        qlin = qlin.at[L.sw].set(ctl.W_wall * dt)
 
     return QPData(P_diag=P, q=qlin, A=A, l=lo, u=hi)
 
 
-def extract_control(veh: VehicleParams, hz: HorizonParams, x: jnp.ndarray):
+def extract_control(veh: VehicleParams, hz: HorizonParams, x: jnp.ndarray,
+                    use_walls: bool = False):
     """Next physical control (delta, Fx) = normalized u[:,2] rescaled
     (reference `get_next_control`, `src/coupled_lat_long.jl:370-374`)."""
-    L = get_layout(hz)
+    L = get_layout(hz, use_walls)
     unorm = jnp.asarray(u_normalization(veh), x.dtype)
     return x[L.u[1]] * unorm
 
 
-def extract_trajectory(hz: HorizonParams, x: jnp.ndarray, veh: VehicleParams):
+def extract_trajectory(hz: HorizonParams, x: jnp.ndarray, veh: VehicleParams,
+                       use_walls: bool = False):
     """Full (q, u) solution matrices for warm-start resampling
     (reference `update_interpolations!`, `src/coupled_lat_long.jl:189-195`)."""
-    L = get_layout(hz)
+    L = get_layout(hz, use_walls)
     unorm = jnp.asarray(u_normalization(veh), x.dtype)
     return x[L.q], x[L.u] * unorm
