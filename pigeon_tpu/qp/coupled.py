@@ -221,7 +221,10 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
         d_min,                                       # delta bounds
         jnp.full(4 * T, -INF, dtype),                # envelope
         -dd_lim,                                     # dd bounds
-    ])
+    ] + ([jnp.zeros(T, dtype),                       # sw >= 0
+          jnp.full(T, -INF, dtype),                  # e - sw upper only
+          data.edges[1:, 1] + ctl.wall_margin,       # e + sw >= edgeR + m
+          ] if ctl.use_walls else []))
     hi = jnp.concatenate([
         jnp.full(2 * T, big), jnp.full(S, big),
         jnp.zeros(T, dtype), jnp.zeros(T, dtype),

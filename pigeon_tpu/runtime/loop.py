@@ -1,0 +1,179 @@
+"""Host-side real-time control loop: the functional analog of the
+reference's ROS node (`src/ros_integration.jl`).
+
+The reference's `/from_autobox` callback IS the control loop (SURVEY.md
+§3.1): ingest the state estimate, run the 4-phase MPC, apply HJI override
+and NaN fallback, publish `/to_autobox`.  Here the same semantics live in
+`ControllerRuntime.on_state`, with the MPC step a single jitted device
+program and all gating checks (`pre_flag`, trajectory time window,
+low-speed pause, heartbeat tracking) on the host where they belong.
+
+Transport is pluggable: in-process calls for simulation, or the native UDP
+autobox link (`pigeon_tpu.runtime.transport`) replacing the reference's
+rospy/roscpp process boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pigeon_tpu import hji as hji_mod
+from pigeon_tpu import mpc as mpc_mod
+from pigeon_tpu import trajectory as trj
+
+log = logging.getLogger("pigeon_tpu.runtime")
+
+
+@dataclasses.dataclass
+class FromAutobox:
+    """State-estimate message (reference `from_autobox` msg fields used at
+    `src/ros_integration.jl:50-52,70,78,88`)."""
+
+    seq: int
+    stamp: float
+    E_m: float
+    N_m: float
+    psi_rad: float
+    ux_mps: float
+    uy_mps: float
+    r_radps: float
+    pre_flag: int = 1
+
+
+@dataclasses.dataclass
+class ToAutobox:
+    """Command message (reference `to_autobox` fill,
+    `src/ros_integration.jl:126-133`)."""
+
+    stamp: float
+    post_flag: int
+    heartbeat: int
+    s_m: float
+    e_m: float
+    delta_cmd_rad: float
+    fxf_cmd_N: float
+    fxr_cmd_N: float
+
+
+class ControllerRuntime:
+    """Stateful host loop around the pure `mpc_step`.
+
+    Mirrors the reference's mutable node state: latest trajectory +
+    tracking mode (`src/ros_integration.jl:28-41`), heartbeat
+    (`:88-92,112`), other-car state (`:153-155`), HJI policy flag (`:47`).
+    """
+
+    def __init__(self, cfg: mpc_mod.MPCConfig,
+                 cache: Optional[hji_mod.HJICache] = None,
+                 tube: Optional[trj.TrajectoryTube] = None,
+                 use_hji_policy: bool = False,
+                 pad_to: int = 1024):
+        if use_hji_policy and not cfg.use_hji_policy:
+            cfg = dataclasses.replace(cfg, use_hji_policy=True)
+        self.cfg = cfg
+        self.cache = cache if cache is not None else hji_mod.inactive_cache()
+        self.pad_to = pad_to
+        # default trajectory mirrors the module-load singleton
+        # (straight_trajectory(30, 5), reference src/Pigeon.jl:34-35)
+        self.tube = tube if tube is not None else trj.straight_trajectory(
+            30.0, 5.0, pad_to=pad_to)
+        self.tracking_mode = "path"          # :path | :traj
+        self.time_offset = math.nan
+        self.use_hji_policy = use_hji_policy
+        self.heartbeat = 0
+        self.other_car = jnp.asarray([1e4, 1e4, 0.0, 0.0], jnp.float32)
+        self.carry = mpc_mod.init_carry(cfg, dtype=jnp.float32)
+        self.last_command = ToAutobox(0.0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+        self._step = jax.jit(
+            lambda tube, carry, q0, u0, oc, t: mpc_mod.mpc_step(
+                cfg, tube, self.cache, carry, q0, u0, oc, t))
+        self._project = jax.jit(
+            lambda tube, x: trj.path_coordinates(tube, x))
+
+    # -- trajectory ingest (reference nominal_trajectory_callback,
+    #    src/ros_integration.jl:30-41) ------------------------------------
+    def set_path(self, tube: trj.TrajectoryTube):
+        """Spatial path (`/des_path`): path-tracking mode, time recovered
+        by projection each step."""
+        self.tube = tube
+        self.tracking_mode = "path"
+        self.time_offset = math.nan
+        self.carry = self.carry._replace(solved=jnp.asarray(False))
+
+    def set_trajectory(self, tube: trj.TrajectoryTube, stamp: float):
+        """Timed trajectory (`/des_traj`): planner time is meaningful."""
+        self.tube = tube
+        self.tracking_mode = "traj"
+        self.time_offset = float(stamp)
+        self.carry = self.carry._replace(solved=jnp.asarray(False))
+
+    def set_other_car(self, x: float, y: float, th: float, v: float):
+        """reference other_car_callback (src/ros_integration.jl:153-155):
+        note the theta - pi/2 heading convention shift."""
+        self.other_car = jnp.asarray([x, y, th - math.pi / 2, v],
+                                     jnp.float32)
+
+    # -- the control loop -------------------------------------------------
+    def on_state(self, msg: FromAutobox) -> Optional[ToAutobox]:
+        """One control period.  Returns the command, or None when the MPC
+        is gated off (reference gating ladder,
+        src/ros_integration.jl:70-92)."""
+        q0 = jnp.asarray([msg.E_m, msg.N_m, msg.psi_rad, msg.ux_mps,
+                          msg.uy_mps, msg.r_radps], jnp.float32)
+        u0 = jnp.asarray([self.last_command.delta_cmd_rad,
+                          self.last_command.fxf_cmd_N,
+                          self.last_command.fxr_cmd_N], jnp.float32)
+
+        if msg.pre_flag == 0:
+            log.info("pre_flag == 0, MPC inactive")
+            return None
+        if math.isnan(self.time_offset):
+            _, _, t = (float(v) for v in self._project(self.tube, q0[:2]))
+        else:
+            t = msg.stamp - self.time_offset
+            t_end = float(trj.end_time(self.tube))
+            if t < 0 or t > t_end:
+                log.info("time %.2f outside trajectory [0, %.2f]", t, t_end)
+                return None
+        if msg.ux_mps < 1.0:
+            log.info("speed < 1 m/s, pausing MPC")
+            return None
+        missed = msg.seq - (self.heartbeat + 1)
+        if missed != 0:
+            log.warning("%d from_autobox messages lost", missed)
+            self.heartbeat = msg.seq - 1
+
+        self.carry, u3, diag = self._step(
+            self.tube, self.carry, q0, u0, self.other_car,
+            jnp.asarray(t, jnp.float32))
+        self.heartbeat += 1
+
+        u3 = np.asarray(u3)
+        cmd = ToAutobox(
+            stamp=msg.stamp, post_flag=1, heartbeat=self.heartbeat,
+            s_m=float(diag.s), e_m=float(diag.e),
+            delta_cmd_rad=float(u3[0]), fxf_cmd_N=float(u3[1]),
+            fxr_cmd_N=float(u3[2]))
+        self.last_command = cmd
+        return cmd
+
+    def diagnostics_row(self, diag) -> dict:
+        """Structured per-step metrics (the build's replacement for the
+        reference's loginfo lines; SURVEY.md §5 observability)."""
+        return {
+            "heartbeat": self.heartbeat,
+            "s": float(diag.s), "e": float(diag.e),
+            "V_hji": float(diag.V_hji),
+            "iterations": int(diag.iterations),
+            "prim_res": float(diag.prim_res),
+            "dual_res": float(diag.dual_res),
+            "converged": bool(diag.converged),
+        }
