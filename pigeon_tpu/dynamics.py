@@ -51,7 +51,7 @@ def fiala_tire_model(alpha, Ca, mu, Fx, Fz):
     sqrt((mu Fz)^2 - Fx^2) (reference `fialatiremodel`,
     src/vehicle_dynamics.jl:35-38)."""
     F_max = mu * Fz
-    Fy_max = jnp.sqrt(jnp.maximum(F_max * F_max - Fx * Fx, 0.0))
+    Fy_max = jnp.sqrt(jnp.maximum(F_max * F_max - Fx * Fx, 1e-9))
     val = _fiala(jnp.tan(alpha), Ca, Fy_max)
     return jnp.where(jnp.abs(Fx) >= F_max, 0.0, val)
 
@@ -80,7 +80,7 @@ def inv_fiala_tire_model(Fy, Ca, mu, Fx, Fz):
     """Slip angle alpha producing lateral force Fy under longitudinal load Fx
     (reference `invfialatiremodel`, src/vehicle_dynamics.jl:50-54)."""
     F_max = mu * Fz
-    Fy_max = jnp.sqrt(jnp.maximum(F_max * F_max - Fx * Fx, 0.0))
+    Fy_max = jnp.sqrt(jnp.maximum(F_max * F_max - Fx * Fx, 1e-9))
     return jnp.arctan(_inv_fiala(Fy, Ca, Fy_max))
 
 

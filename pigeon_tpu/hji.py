@@ -145,7 +145,10 @@ def optimal_disturbance(veh: VehicleParams, x7, gradV, d_mode: str = "min"):
     optimal_disturbance, src/HJI_computation.jl:90-131), with the branch
     tree converted to nested `where`s."""
     sgn = 1.0 if d_mode == "max" else -1.0
-    V = x7[..., 5]
+    # guard: the analytic formulas divide by the human speed; the reference
+    # never queries V ~ 0 (its grid's V axis is strictly positive) but the
+    # on-device PDE solver sweeps the whole grid.
+    V = jnp.maximum(x7[..., 5], 0.1)
     kappa_max = veh.kappa_max
     Ax_max = veh.Fx_max / veh.m
     Pmx_max = veh.Px_max / veh.m
@@ -203,8 +206,8 @@ def optimal_control(veh: VehicleParams, x7, gradV, u_mode: str = "max",
 
     def ham(Fx):
         Fxf, Fxr = dyn.longitudinal_split(veh, Fx)
-        u3 = jnp.stack([jnp.broadcast_to(delta_opt, Fx.shape), Fxf, Fxr],
-                       axis=-1)
+        d_b, Ff_b, Fr_b = jnp.broadcast_arrays(delta_opt, Fxf, Fxr)
+        u3 = jnp.stack([d_b, Ff_b, Fr_b], axis=-1)
         Fyf, Fyr = dyn.lateral_tire_forces(veh, Ux, Uy, r, u3)
         return A * Fx + B * Fyf + C * Fyr
 
