@@ -108,11 +108,21 @@ class BatchedController:
 
         self._step = jax.jit(_step)
 
+        def _advance_other(oc):
+            # constant-velocity human prediction (the dynamic_obstacle
+            # config; heading measured from N like the ego convention)
+            E, N, psi, V = oc[..., 0], oc[..., 1], oc[..., 2], oc[..., 3]
+            return jnp.stack([E - V * jnp.sin(psi) * dt,
+                              N + V * jnp.cos(psi) * dt, psi, V], axis=-1)
+
         def _rollout(state: BatchState, other_car, t0, n_steps):
-            def body(st, i):
-                st, diag = _step(st, other_car, t0 + i * dt)
-                return st, (st.q, st.u, diag)
-            return jax.lax.scan(body, state, jnp.arange(n_steps))
+            def body(carry_st, i):
+                st, oc = carry_st
+                st, diag = _step(st, oc, t0 + i * dt)
+                return (st, _advance_other(oc)), (st.q, st.u, oc, diag)
+            (state, _), out = jax.lax.scan(
+                body, (state, other_car), jnp.arange(n_steps))
+            return state, out
 
         self._rollout = jax.jit(_rollout, static_argnums=(3,))
 

@@ -1,0 +1,61 @@
+"""Monte-Carlo dynamic_obstacle tests: batched closed-loop rollouts with a
+moving human car and on-device statistics, on an 8-device CPU mesh."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pigeon_tpu import hji as H
+from pigeon_tpu import mpc as M
+from pigeon_tpu import montecarlo as mc
+from pigeon_tpu import trajectory as trj
+from pigeon_tpu.parallel.mesh import make_mesh
+from tests.conftest import REFERENCE_PATHS
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_PATHS),
+                    reason="reference test paths not mounted")
+def test_dynamic_obstacle_monte_carlo():
+    tube = trj.tube_from_world(
+        os.path.join(REFERENCE_PATHS, "EastPaddock.world"), pad_to=1024)
+    cfg = M.x1_coupled_config()
+    cache = H.synthetic_cache(5)
+    scen = mc.sample_scenarios(tube, B=8, seed=0, speed=6.0)
+    assert scen.q0.shape == (8, 6)
+    assert scen.other0.shape == (8, 4)
+    # humans placed ahead and oncoming
+    d0 = np.hypot(np.asarray(scen.q0[:, 0] - scen.other0[:, 0]),
+                  np.asarray(scen.q0[:, 1] - scen.other0[:, 1]))
+    assert np.all(d0 > 10.0)
+
+    mesh = make_mesh(8)
+    summary = mc.run_dynamic_obstacle(cfg, tube, cache, scen, n_steps=80,
+                                      mesh=mesh)
+    assert summary.n_scenarios == 8
+    assert summary.controls_finite
+    assert summary.converged_frac > 0.9
+    assert summary.tracking_e_p99 < 2.0
+    assert np.isfinite(summary.min_separation_m)
+    # with a synthetic cache and oncoming traffic, the filter fires at
+    # least sometimes across the fleet
+    assert 0.0 <= summary.hji_active_frac <= 1.0
+
+
+def test_rollout_other_car_advances():
+    """The human car must actually move during rollout (constant-velocity
+    prediction)."""
+    from pigeon_tpu.parallel.mesh import BatchedController
+    cfg = M.x1_coupled_config()
+    tube = trj.straight_trajectory(80.0, 6.0, pad_to=32)
+    ctrl = BatchedController(cfg, tube)
+    q0 = jnp.asarray([[0.0, 0.0, 0.0, 6.0, 0.0, 0.0]], jnp.float32)
+    state = ctrl.init_state(q0)
+    oc0 = jnp.asarray([[0.0, 50.0, np.pi, 5.0]], jnp.float32)  # oncoming
+    state, (q_log, u_log, oc_log, diag) = ctrl.rollout(state, 30,
+                                                       other_car=oc0)
+    oc = np.asarray(oc_log)[:, 0]
+    # heading pi (from N) -> moving in -N
+    assert oc[-1, 1] < oc[0, 1] - 1.0
+    assert np.allclose(oc[:, 3], 5.0)
