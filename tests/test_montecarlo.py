@@ -32,7 +32,7 @@ def test_dynamic_obstacle_monte_carlo():
     assert np.all(d0 > 10.0)
 
     mesh = make_mesh(8)
-    summary = mc.run_dynamic_obstacle(cfg, tube, cache, scen, n_steps=80,
+    summary = mc.run_dynamic_obstacle(cfg, tube, cache, scen, n_steps=50,
                                       mesh=mesh)
     assert summary.n_scenarios == 8
     assert summary.controls_finite
