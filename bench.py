@@ -60,7 +60,7 @@ def main():
     backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
         max_iter=args.solver_iters * 2, check_every=args.solver_iters,
-        eps_abs=1e-3, eps_rel=1e-3, backend=backend,
+        eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
         factor_method="chol"))
 
     tube = trj.tube_from_world(
