@@ -94,15 +94,18 @@ def main():
         """One fleet control period: every scenario runs a FULL warm-started
         MPC step and the plant advances with the command — each timed call
         solves a fresh QP, like the real 100 Hz loop."""
-        def one(c, q, u, t):
-            c2, u3, diag = M.mpc_step(cfg, tube, cache, c, q, u,
-                                      jnp.asarray([1e4, 1e4, 0, 0], dtype),
-                                      t)
-            ur = jnp.concatenate([jnp.stack([u3[0], u3[1] + u3[2]]),
+        B_ = q0s.shape[0]
+        ocs = jnp.broadcast_to(jnp.asarray([1e4, 1e4, 0, 0], dtype),
+                               (B_, 4))
+        c2, u3, diag = M.mpc_step_batched(cfg, tube, cache, carries, q0s,
+                                          u0s, ocs, ts)
+
+        def plant(q, u):
+            ur = jnp.concatenate([jnp.stack([u[0], u[1] + u[2]]),
                                   jnp.zeros(4, dtype)])
-            q2 = dz.propagate(plant_f, q, ur, 0.01)
-            return c2, q2, u3, diag
-        return jax.vmap(one)(carries, q0s, u0s, ts)
+            return dz.propagate(plant_f, q, ur, 0.01)
+        q2 = jax.vmap(plant)(q0s, u3)
+        return c2, q2, u3, diag
 
     # Warmup / compile
     t_compile = time.time()

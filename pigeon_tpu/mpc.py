@@ -311,26 +311,34 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
 # ---------------------------------------------------------------------------
 
 def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
-             cache: hji_mod.HJICache, carry: MPCCarry, q0, u0, other_car, t):
+             cache: hji_mod.HJICache, carry: MPCCarry, q0, u0, other_car, t,
+             nodes_mode: str = "auto"):
     """One full control step.  Pure function of its inputs; vmap over
     (tube, carry, q0, u0, other_car, t) for scenario batching.
 
     Mirrors the reference callback pipeline `src/ros_integration.jl:94-150`
     (4-phase MPC + HJI override + NaN fallback).
     Returns (new_carry, u3_command, diagnostics).
+
+    nodes_mode: "auto" selects cold/warm per the carry's solved flag
+    (computing both under vmap); "warm_only" skips the cold trim rollout —
+    valid only when the caller guarantees every carry is warm (see
+    `mpc_step_batched`, which branches once per batch on that predicate).
     """
     veh, hz = cfg.veh, cfg.hz
     ts, dt = compute_time_steps(hz, t)
     s0, e0, _ = trj.path_coordinates(tube, q0[:2])
 
     if cfg.formulation == "coupled":
-        cold = _nodes_coupled_cold(cfg, tube, q0, u0, ts, dt)
-        if cfg.warm_nodes:
+        if nodes_mode == "warm_only" and cfg.warm_nodes:
+            qs, us, ps = _nodes_coupled_warm(cfg, tube, q0, u0, ts, carry)
+        elif cfg.warm_nodes:
+            cold = _nodes_coupled_cold(cfg, tube, q0, u0, ts, dt)
             warm = _nodes_coupled_warm(cfg, tube, q0, u0, ts, carry)
             qs, us, ps = jax.tree.map(
                 lambda c, w: jnp.where(carry.solved, w, c), cold, warm)
         else:
-            qs, us, ps = cold
+            qs, us, ps = _nodes_coupled_cold(cfg, tube, q0, u0, ts, dt)
 
         u_lin = jnp.stack([u0[0], u0[1] + u0[2]])
         x_rel = hji_mod.relative_state(q0, other_car)
@@ -463,3 +471,36 @@ def simulate(cfg: MPCConfig, tube: trj.TrajectoryTube,
     (_, _, _), (q_log, u_log, diag_log) = jax.lax.scan(
         body, (q0, u0, carry0), jnp.arange(n_steps))
     return SimLog(q=q_log, u=u_log, diag=diag_log)
+
+
+def mpc_step_batched(cfg: MPCConfig, tube: trj.TrajectoryTube,
+                     cache: hji_mod.HJICache, carries: MPCCarry, q0s, u0s,
+                     other_cars, ts):
+    """Batched control step with a batch-level cold/warm branch.
+
+    Under plain vmap the per-element cold/warm select computes BOTH node
+    paths for every scenario; in steady state the whole fleet is warm and
+    the cold trim rollout (~35 ms at B=2048 on v5e) is wasted.  Branching
+    once on the scalar "is anyone cold" predicate with lax.cond executes
+    only the warm path on steady-state steps.  Coupled formulation only
+    (the decoupled controller has no warm node branch, like the reference).
+    """
+    if cfg.formulation != "coupled" or not cfg.warm_nodes:
+        return jax.vmap(lambda c, q, u, oc, t: mpc_step(
+            cfg, tube, cache, c, q, u, oc, t))(carries, q0s, u0s,
+                                               other_cars, ts)
+
+    def auto(args):
+        c, q, u, oc, t = args
+        return jax.vmap(lambda c_, q_, u_, oc_, t_: mpc_step(
+            cfg, tube, cache, c_, q_, u_, oc_, t_, "auto"))(c, q, u, oc, t)
+
+    def warm_only(args):
+        c, q, u, oc, t = args
+        return jax.vmap(lambda c_, q_, u_, oc_, t_: mpc_step(
+            cfg, tube, cache, c_, q_, u_, oc_, t_, "warm_only"))(
+            c, q, u, oc, t)
+
+    any_cold = jnp.logical_not(jnp.all(carries.solved))
+    return jax.lax.cond(any_cold, auto, warm_only,
+                        (carries, q0s, u0s, other_cars, ts))

@@ -86,11 +86,11 @@ class BatchedController:
         cache_ = self.cache
 
         def _step(state: BatchState, other_car, t):
-            def one(carry, q, u, oc):
-                return mpc_mod.mpc_step(cfg_, tube_, cache_, carry, q, u,
-                                        oc, t)
-            carry, u3, diag = jax.vmap(one)(state.carry, state.q, state.u,
-                                            other_car)
+            B_ = state.q.shape[0]
+            ts_b = jnp.broadcast_to(jnp.asarray(t, state.q.dtype), (B_,))
+            carry, u3, diag = mpc_mod.mpc_step_batched(
+                cfg_, tube_, cache_, state.carry, state.q, state.u,
+                other_car, ts_b)
             import pigeon_tpu.discretize as dz
             import pigeon_tpu.dynamics as dyn
 
