@@ -61,7 +61,7 @@ def main():
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
         max_iter=args.solver_iters * 2, check_every=args.solver_iters,
         eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
-        factor_method="chol"))
+        factor_method="banded"))
 
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)

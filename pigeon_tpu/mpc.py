@@ -375,7 +375,13 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
         y=jnp.where(carry.solved, carry.warm_y, 0.0),
         z=jnp.where(carry.solved, carry.warm_z, 0.0),
         rho_scale=jnp.where(carry.solved, carry.warm_rho, 1.0))
-    sol = solve_qp(qp, warm=warm_start, opts=cfg.solver)
+    banded_plan = None
+    if (cfg.solver.factor_method == "banded"
+            and cfg.formulation == "coupled"):
+        from pigeon_tpu.solver.banded import coupled_stage_plan
+        banded_plan = coupled_stage_plan(hz, cfg.coupled.use_walls)
+    sol = solve_qp(qp, warm=warm_start, opts=cfg.solver,
+                   banded_plan=banded_plan)
 
     if cfg.formulation == "coupled":
         u2 = qp_coupled.extract_control(veh, hz, sol.x,

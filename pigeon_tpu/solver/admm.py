@@ -118,7 +118,7 @@ def _ruiz(qp: QPData, iters: int):
 # Core solve
 # ---------------------------------------------------------------------------
 
-def _factor_inv(Pb, Ab, rho_vec, sigma, opts=None):
+def _factor_inv(Pb, Ab, rho_vec, sigma, opts=None, banded_plan=None):
     """Explicit inverse of the reduced KKT matrix K = P + sigma I + A'rhoA.
 
     The ADMM iterations then use pure matmuls — on TPU this matters a lot:
@@ -135,10 +135,14 @@ def _factor_inv(Pb, Ab, rho_vec, sigma, opts=None):
       Newton polish steps.  The iterations are quadratically convergent so
       the fixed count covers condition numbers up to ~1e6 after Ruiz.
     """
+    method = getattr(opts, "factor_method", "chol") if opts else "chol"
+    if method == "banded" and banded_plan is not None:
+        from pigeon_tpu.solver.banded import factor_inv_banded
+        slots, n_, bw, nb = banded_plan
+        return factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n_, bw, nb)
     K = (Ab.T * rho_vec[None, :]) @ Ab
     K = K + jnp.diag(Pb + sigma)
     n = Pb.shape[-1]
-    method = getattr(opts, "factor_method", "chol") if opts else "chol"
     if method == "ns":
         eye = jnp.eye(n, dtype=Pb.dtype)
         norm_inf = jnp.max(jnp.sum(jnp.abs(K), axis=-1))
@@ -156,19 +160,24 @@ _RHO_MIN, _RHO_MAX = 1e-6, 1e6
 
 
 def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
-             opts: SolverOptions = SolverOptions()) -> QPSolution:
+             opts: SolverOptions = SolverOptions(),
+             banded_plan=None) -> QPSolution:
     """Solve one QP; vmap over a leading batch axis for scenario batching.
 
     Runs under matmul precision HIGHEST: TPU's default bf16 matmul passes
     destroy ADMM convergence at the 1e-4 tolerance (fp32 inputs, ~1e-3
     relative matmul error otherwise).
+
+    banded_plan: optional static stage plan (see solver/banded.py)
+    enabling the block-tridiagonal factorization when
+    opts.factor_method == "banded".
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_qp(qp, warm, opts)
+        return _solve_qp(qp, warm, opts, banded_plan)
 
 
 def _solve_qp(qp: QPData, warm: QPWarmStart | None,
-              opts: SolverOptions) -> QPSolution:
+              opts: SolverOptions, banded_plan=None) -> QPSolution:
     dtype = qp.q.dtype
     if warm is None:
         warm = cold_start(qp)
@@ -275,7 +284,7 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
     def outer_round(carry):
         x, z, y, rho_scale, seg_i, _, _, converged = carry
         rho_vec = jnp.clip(rho_base * rho_scale, _RHO_MIN, _RHO_MAX)
-        Kinv = _factor_inv(Pb, Ab, rho_vec, sigma, opts)
+        Kinv = _factor_inv(Pb, Ab, rho_vec, sigma, opts, banded_plan)
         inner = (x, z, y, Kinv, rho_vec, rho_scale, rho_scale, seg_i,
                  jnp.asarray(jnp.inf, dtype), jnp.asarray(jnp.inf, dtype),
                  converged, jnp.asarray(False))
