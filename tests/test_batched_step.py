@@ -11,7 +11,8 @@ from pigeon_tpu import trajectory as trj
 
 
 def _setup(B=3):
-    cfg = M.x1_coupled_config()
+    from pigeon_tpu.config import HorizonParams
+    cfg = M.x1_coupled_config(hz=HorizonParams(N_short=2, N_long=3))
     tube = trj.straight_trajectory(60.0, 5.0, pad_to=32)
     cache = H.inactive_cache()
     carry = M.init_carry(cfg, dtype=jnp.float64)
