@@ -185,3 +185,73 @@ def linearize_affine_foh(f, q, ur0, urf, dt, n_keep: int):
     c = (E[:n, -1] + B0_full[:, n_keep:] @ ur0[n_keep:]
          + Bf_full[:, n_keep:] @ urf[n_keep:])
     return A, B0_full[:, :n_keep], Bf_full[:, :n_keep], c
+
+
+def linearize_affine_horizon(f, qs, urs, urs_next, dts, n_keep: int):
+    """Fused exact affine linearization of a whole horizon in one batched
+    expm call.
+
+    qs (T, n), urs (T, m): nominal state/input per stage; urs_next (T, m)
+    the next-knot inputs (used by FOH stages); dts (T,); foh_mask (T,) in
+    `urs_next`'s construction decides hold order implicitly: ZOH stages are
+    embedded in the same (n + 2m + 1) augmentation with a zero ramp block,
+    for which exp() provably leaves Phi_qv = 0, so the shared extraction
+    B0 = Phi_qu - Phi_qv/dt, Bf = Phi_qv/dt degenerates to the ZOH model
+    with Bf = 0.  One (T, n+2m+1, n+2m+1) expm replaces two smaller vmapped
+    chains — half the batched-matmul dispatches on TPU.
+
+    Returns (A (T,n,n), B0 (T,n,k), Bf (T,n,k), c (T,n)); `foh` stages are
+    those where urs_next differs — the caller selects which stage uses Bf.
+    """
+    n = qs.shape[-1]
+    m = urs.shape[-1]
+    T = qs.shape[0]
+
+    Jq = jax.vmap(jax.jacfwd(f, argnums=0))(qs, urs)
+    Ju = jax.vmap(jax.jacfwd(f, argnums=1))(qs, urs)
+    f0 = jax.vmap(f)(qs, urs)
+    ct = (f0 - jnp.einsum("tij,tj->ti", Jq, qs)
+          - jnp.einsum("tij,tj->ti", Ju, urs))
+
+    dim = n + 2 * m + 1
+    M = jnp.zeros((T, dim, dim), qs.dtype)
+    M = M.at[:, :n, :n].set(Jq)
+    M = M.at[:, :n, n:n + m].set(Ju)
+    M = M.at[:, :n, -1].set(ct)
+    return M, dim
+
+
+def extract_affine_horizon(E, dts, urs, urs_next, n: int, m: int,
+                           n_keep: int):
+    """Extract (A, B0, Bf, c) blocks from the batched expm result."""
+    A = E[:, :n, :n]
+    Phi_qu = E[:, :n, n:n + m]
+    Phi_qv = E[:, :n, n + m:n + 2 * m]
+    Bf_full = Phi_qv / dts[:, None, None]
+    B0_full = Phi_qu - Bf_full
+    c = (E[:, :n, -1]
+         + jnp.einsum("tij,tj->ti", B0_full[:, :, n_keep:],
+                      urs[:, n_keep:])
+         + jnp.einsum("tij,tj->ti", Bf_full[:, :, n_keep:],
+                      urs_next[:, n_keep:]))
+    return A, B0_full[:, :, :n_keep], Bf_full[:, :, :n_keep], c
+
+
+def linearize_horizon_fused(f, qs, urs, dts, S: int, n_keep: int):
+    """ZOH for stages [0, S), FOH for [S, T): one fused expm.
+
+    urs has N = T+1 rows (inputs at every knot); FOH stages ramp
+    urs[t] -> urs[t+1]; ZOH stages hold urs[t] (ramp block zeroed).
+    """
+    T = dts.shape[0]
+    n = qs.shape[-1]
+    m = urs.shape[-1]
+    M, dim = linearize_affine_horizon(f, qs[:T], urs[:T], urs[1:], dts,
+                                      n_keep)
+    foh = (jnp.arange(T) >= S)[:, None, None]
+    ramp = jnp.broadcast_to(jnp.eye(m, dtype=qs.dtype), (T, m, m))
+    M = M.at[:, n:n + m, n + m:n + 2 * m].set(
+        jnp.where(foh, ramp, jnp.zeros_like(ramp)))
+    E = expm_fixed(M * dts[:, None, None])
+    urs_next = urs[1:]
+    return extract_affine_horizon(E, dts, urs[:T], urs_next, n, m, n_keep)

@@ -158,6 +158,9 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
             lambda q, u, h: dz.linearize_affine_zoh(f, q, u, h, 2))(
             qs[:S], ur[:S], dt[:S])
         # FOH linearization, long horizon (reference :348)
+        # (a fused single-expm variant exists in
+        # discretize.linearize_horizon_fused; measured neutral-to-slower
+        # here because ZOH stages pay the 19x19 augmentation)
         Af, B0f, Bff, cf = jax.vmap(
             lambda q, u0, uf, h: dz.linearize_affine_foh(f, q, u0, uf, h, 2))(
             qs[S:T], ur[S:T], ur[S + 1:N], dt[S:T])

@@ -160,3 +160,45 @@ def test_propagate_substeps(x1):
     q1 = dz.propagate(f, q, ur, 0.01, substeps=1)
     q4 = dz.propagate(f, q, ur, 0.01, substeps=4)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q4), rtol=1e-5)
+
+
+def test_fused_horizon_matches_per_stage(x1):
+    """linearize_horizon_fused must reproduce the per-stage affine ZOH/FOH
+    models exactly (ZOH stages embedded with a zero ramp block)."""
+    def f(q, ur):
+        return dyn.vehicle_ode(x1, "tracking", q, ur[:2], ur[2:])
+
+    rng2 = np.random.default_rng(4)
+    N, S = 6, 2
+    T = N - 1
+    qs = jnp.asarray(np.stack([
+        [0.0, 8.0 + i * 0.3, 0.1 * rng2.standard_normal(), 0.05, 0.02, -0.1]
+        for i in range(N)]))
+    urs = jnp.asarray(np.stack([
+        [0.02 + 0.01 * i, 300.0 + 50 * i, 8.0, 0.01, 0.0, 0.0]
+        for i in range(N)]))
+    dts = jnp.asarray([0.01, 0.01, 0.15, 0.2, 0.2])
+
+    A, B0, Bf, c = dz.linearize_horizon_fused(f, qs, urs, dts, S, 2)
+    for t in range(T):
+        if t < S:
+            Ar, Br, cr = dz.linearize_affine_zoh(f, qs[t], urs[t],
+                                                 dts[t], 2)
+            np.testing.assert_allclose(np.asarray(A[t]), np.asarray(Ar),
+                                       rtol=1e-9, atol=1e-11)
+            np.testing.assert_allclose(np.asarray(B0[t]), np.asarray(Br),
+                                       rtol=1e-9, atol=1e-11)
+            np.testing.assert_allclose(np.asarray(Bf[t]), 0.0, atol=1e-11)
+            np.testing.assert_allclose(np.asarray(c[t]), np.asarray(cr),
+                                       rtol=1e-8, atol=1e-9)
+        else:
+            Ar, B0r, Bfr, cr = dz.linearize_affine_foh(
+                f, qs[t], urs[t], urs[t + 1], dts[t], 2)
+            np.testing.assert_allclose(np.asarray(A[t]), np.asarray(Ar),
+                                       rtol=1e-9, atol=1e-11)
+            np.testing.assert_allclose(np.asarray(B0[t]), np.asarray(B0r),
+                                       rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(Bf[t]), np.asarray(Bfr),
+                                       rtol=1e-9, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(c[t]), np.asarray(cr),
+                                       rtol=1e-8, atol=1e-9)
