@@ -159,19 +159,11 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
     _, ys = jax.lax.scan(fwd_body, jnp.zeros((bw, n_perm), dtype),
                          (Linvs, Ss, eye_blocks))
 
-    # backward substitution: x_t = Linv_t^T (y_t - S_{t+1}^T x_{t+1})
-    S_next = jnp.concatenate([Ss[1:], jnp.zeros((1, bw, bw), dtype)])
-
-    def bwd_body(x_next, inp):
-        Linv, Sn, y = inp
-        x = jnp.swapaxes(Linv, -1, -2) @ (y - jnp.swapaxes(Sn, -1, -2)
-                                          @ x_next)
-        return x, x
-
-    _, xs = jax.lax.scan(bwd_body, jnp.zeros((bw, n_perm), dtype),
-                         (Linvs, S_next, ys), reverse=True)
-
-    Kinv_perm = xs.reshape(n_perm, n_perm)
+    # The forward solve against the identity IS W = L^-1 (block rows), and
+    # K^-1 = (L L^T)^-1 = L^-T L^-1 = W^T W: one dense MXU matmul replaces
+    # the 16-step backward-substitution scan.
+    W = ys.reshape(n_perm, n_perm)
+    Kinv_perm = W.T @ W
     # un-permute: real variable i lives at permuted position pos[i]
     # (slots is static numpy, so this is all trace-time index arithmetic)
     slots_flat = slots.reshape(-1)
