@@ -74,8 +74,11 @@ def solve_hji(veh: VehicleParams,
               n_sweeps: int = 400,
               cfl: float = 0.5,
               fx_samples: int = 15,
-              dtype=jnp.float32) -> hji_mod.HJICache:
-    """Solve the avoid HJI-VI on a 7-D grid; returns an `HJICache`."""
+              dtype=jnp.float32) -> "tuple[hji_mod.HJICache, np.ndarray]":
+    """Solve the avoid HJI-VI on a 7-D grid.
+
+    Returns (cache, deltas): the `HJICache` plus the per-sweep sup-norm
+    update magnitudes (convergence trace, shape (n_sweeps,))."""
     knots = [np.linspace(lo, hi, k) for (lo, hi), k in zip(bounds, shape)]
     hs = [float(k[1] - k[0]) for k in knots]
     grids = np.meshgrid(*knots, indexing="ij")

@@ -89,17 +89,12 @@ def run_dynamic_obstacle(cfg: mpc_mod.MPCConfig, tube: trj.TrajectoryTube,
     human; reduce the safety/tracking statistics on device."""
     ctrl = BatchedController(cfg, tube, cache=cache, mesh=mesh, dt=dt)
     state = ctrl.init_state(scen.q0)
-    # rollout takes a scalar t0; use the batch-aligned per-scenario shift
-    # by rolling from the minimum start and letting per-scenario t matter
-    # only through the time grid anchor
-    t0 = scen.t0
-    # vmapped rollout expects a scalar t0; fold per-scenario t0 into the
-    # step by rolling with t0=0 and per-scenario time offset in the tube
-    # anchor -- the coupled controller in path mode re-anchors by
-    # projection, so a shared t0 is exact for path tracking and the
-    # per-scenario offsets only shift the (unused) schedule.
+    # Per-scenario start times: the coupled QP carries the
+    # Q_ds*(s - s_ref(t))^2 objective term, so every scenario must be
+    # anchored at its own sampled path time (a shared t0=0 would make
+    # mid-path scenarios see Delta-s of tens of meters and brake to V_min).
     state, (q_log, u_log, oc_log, diag) = ctrl.rollout(
-        state, n_steps, other_car=scen.other0, t0=0.0)
+        state, n_steps, other_car=scen.other0, t0=scen.t0)
 
     sep = jnp.hypot(q_log[..., 0] - oc_log[..., 0],
                     q_log[..., 1] - oc_log[..., 1])     # (n_steps, B)

@@ -269,6 +269,10 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
     tau0 = dt[0]
     V1 = V0 + A_0 * tau0
     s1 = s0 + V1 * tau0 + A_0 * tau0 * tau0 / 2.0
+    # keep the scan carry dtype-stable when the tube dtype (often f64 on
+    # CPU) is wider than the state dtype
+    ctype = jnp.result_type(V1, s1)
+    V1, s1 = V1.astype(ctype), s1.astype(ctype)
 
     taus = jnp.concatenate([dt[1:], dt[N - 2:N - 1]])
     idx = jnp.arange(1, N)

@@ -147,6 +147,9 @@ class BatchedController:
 
     def rollout(self, state: BatchState, n_steps: int, other_car=None,
                 t0=0.0):
+        """t0 may be a scalar or a (B,) array of per-scenario start times
+        (the dynamic_obstacle Monte-Carlo engine anchors each scenario at
+        its own sampled path time)."""
         if other_car is None:
             B = state.q.shape[0]
             other_car = jnp.broadcast_to(

@@ -68,16 +68,42 @@ class ControllerRuntime:
     Mirrors the reference's mutable node state: latest trajectory +
     tracking mode (`src/ros_integration.jl:28-41`), heartbeat
     (`:88-92,112`), other-car state (`:153-155`), HJI policy flag (`:47`).
+
+    Like the reference node, the runtime holds TWO controllers and selects
+    per control period by tracking mode: the decoupled (path) controller in
+    `:path` mode, the coupled (trajectory) controller in `:traj` mode
+    (reference `src/ros_integration.jl:48-49`, singletons
+    `src/Pigeon.jl:34-35`).  The HJI "hammer" override is additionally
+    gated on `:traj` mode (reference `:115-116`).  Passing a single `cfg`
+    uses it for both modes (single-controller runtime, useful for tests
+    and single-formulation deployments).
     """
 
-    def __init__(self, cfg: mpc_mod.MPCConfig,
+    def __init__(self, cfg: Optional[mpc_mod.MPCConfig] = None,
                  cache: Optional[hji_mod.HJICache] = None,
                  tube: Optional[trj.TrajectoryTube] = None,
                  use_hji_policy: bool = False,
-                 pad_to: int = 1024):
-        if use_hji_policy and not cfg.use_hji_policy:
-            cfg = dataclasses.replace(cfg, use_hji_policy=True)
-        self.cfg = cfg
+                 pad_to: int = 1024,
+                 cfg_path: Optional[mpc_mod.MPCConfig] = None,
+                 cfg_traj: Optional[mpc_mod.MPCConfig] = None):
+        if cfg is not None:
+            cfg_path = cfg_path if cfg_path is not None else cfg
+            cfg_traj = cfg_traj if cfg_traj is not None else cfg
+        else:
+            # reference module-load singletons X1DMPC / X1CMPC
+            # (src/Pigeon.jl:34-35)
+            cfg_path = (cfg_path if cfg_path is not None
+                        else mpc_mod.x1_decoupled_config())
+            cfg_traj = (cfg_traj if cfg_traj is not None
+                        else mpc_mod.x1_coupled_config())
+        if use_hji_policy and not cfg_traj.use_hji_policy:
+            cfg_traj = dataclasses.replace(cfg_traj, use_hji_policy=True)
+        # HJI override only ever fires in :traj mode (reference :115):
+        # strip the policy flag from the path-mode program.
+        if cfg_path.use_hji_policy:
+            cfg_path = dataclasses.replace(cfg_path, use_hji_policy=False)
+        self.cfgs = {"path": cfg_path, "traj": cfg_traj}
+        self.cfg = cfg_traj          # primary/legacy accessor
         self.cache = cache if cache is not None else hji_mod.inactive_cache()
         self.pad_to = pad_to
         # default trajectory mirrors the module-load singleton
@@ -89,31 +115,47 @@ class ControllerRuntime:
         self.use_hji_policy = use_hji_policy
         self.heartbeat = 0
         self.other_car = jnp.asarray([1e4, 1e4, 0.0, 0.0], jnp.float32)
-        self.carry = mpc_mod.init_carry(cfg, dtype=jnp.float32)
+        self.carries = {m: mpc_mod.init_carry(c, dtype=jnp.float32)
+                        for m, c in self.cfgs.items()}
         self.last_command = ToAutobox(0.0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)
 
-        self._step = jax.jit(
-            lambda tube, carry, q0, u0, oc, t: mpc_mod.mpc_step(
-                cfg, tube, self.cache, carry, q0, u0, oc, t))
+        def make_step(c):
+            return jax.jit(
+                lambda tube, carry, q0, u0, oc, t: mpc_mod.mpc_step(
+                    c, tube, self.cache, carry, q0, u0, oc, t))
+        self._steps = {m: make_step(c) for m, c in self.cfgs.items()}
         self._project = jax.jit(
             lambda tube, x: trj.path_coordinates(tube, x))
+
+    @property
+    def carry(self):
+        """Carry of the currently-selected controller."""
+        return self.carries[self.tracking_mode]
+
+    @carry.setter
+    def carry(self, value):
+        self.carries[self.tracking_mode] = value
 
     # -- trajectory ingest (reference nominal_trajectory_callback,
     #    src/ros_integration.jl:30-41) ------------------------------------
     def set_path(self, tube: trj.TrajectoryTube):
         """Spatial path (`/des_path`): path-tracking mode, time recovered
-        by projection each step."""
+        by projection each step.  Drops the path controller's warm start
+        (reference `src/ros_integration.jl:30-34`)."""
         self.tube = tube
         self.tracking_mode = "path"
         self.time_offset = math.nan
-        self.carry = self.carry._replace(solved=jnp.asarray(False))
+        self.carries["path"] = self.carries["path"]._replace(
+            solved=jnp.asarray(False))
 
     def set_trajectory(self, tube: trj.TrajectoryTube, stamp: float):
-        """Timed trajectory (`/des_traj`): planner time is meaningful."""
+        """Timed trajectory (`/des_traj`): planner time is meaningful.
+        Drops the trajectory controller's warm start (reference `:36-41`)."""
         self.tube = tube
         self.tracking_mode = "traj"
         self.time_offset = float(stamp)
-        self.carry = self.carry._replace(solved=jnp.asarray(False))
+        self.carries["traj"] = self.carries["traj"]._replace(
+            solved=jnp.asarray(False))
 
     def set_other_car(self, x: float, y: float, th: float, v: float):
         """reference other_car_callback (src/ros_integration.jl:153-155):
@@ -151,8 +193,9 @@ class ControllerRuntime:
             log.warning("%d from_autobox messages lost", missed)
             self.heartbeat = msg.seq - 1
 
-        self.carry, u3, diag = self._step(
-            self.tube, self.carry, q0, u0, self.other_car,
+        mode = self.tracking_mode
+        self.carries[mode], u3, diag = self._steps[mode](
+            self.tube, self.carries[mode], q0, u0, self.other_car,
             jnp.asarray(t, jnp.float32))
         self.heartbeat += 1
 

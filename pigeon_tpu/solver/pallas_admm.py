@@ -20,7 +20,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+try:                                  # the TPU extension registers Mosaic
+    from jax.experimental.pallas import tpu as pltpu  # lowerings; absent on
+    _VMEM = pltpu.VMEM                # CPU-only installs (interpret mode
+except (ImportError, NotImplementedError):            # works without it)
+    pltpu = None
+    _VMEM = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,14 +81,17 @@ def _kernel(n_iters: int, sigma: float, alpha: float,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "sigma", "alpha",
-                                             "tile"))
+                                             "tile", "interpret"))
 def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
                     n_iters: int, sigma: float, alpha: float,
-                    tile: int = 1):
+                    tile: int = 1, interpret: bool = False):
     """Run `n_iters` ADMM iterations for a batch of QPs entirely in VMEM.
 
     Inputs are the *scaled* problem quantities (post-Ruiz), batched on the
     leading axis.  Returns updated (x, z, y).
+
+    interpret=True runs the kernel in Pallas interpret mode (CPU test
+    path asserting bit-level agreement with the XLA backend).
     """
     B, m, n = A.shape
     n_pad = _round_up(n, 128)
@@ -113,9 +122,9 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     grid = (B_pad // tile,)
 
     def bspec(*dims):
+        kw = {} if _VMEM is None else {"memory_space": _VMEM}
         return pl.BlockSpec((tile,) + dims,
-                            lambda i: (i,) + (0,) * len(dims),
-                            memory_space=pltpu.VMEM)
+                            lambda i: (i,) + (0,) * len(dims), **kw)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_iters, float(sigma), float(alpha)),
@@ -132,6 +141,7 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
             jax.ShapeDtypeStruct((B_pad, 1, m_pad), f32),
             jax.ShapeDtypeStruct((B_pad, 1, m_pad), f32),
         ),
+        interpret=interpret,
     )(Kp, Ap, ATp, qp_, lp, up, rp, xp, zp, yp)
     x, z, y = out
     return (x[:B, 0, :n].astype(A.dtype), z[:B, 0, :m].astype(A.dtype),

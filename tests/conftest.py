@@ -17,8 +17,13 @@ import jax  # noqa: E402  (already imported by sitecustomize anyway)
 try:  # deregister the axon plugin backend factory if present
     from jax._src import xla_bridge as _xb
 
+    # Pop ONLY the axon plugin: removing "tpu" from the factory table also
+    # removes it from the known-platform list, which breaks later
+    # `jax.experimental.pallas` imports (checkify registers a tpu lowering
+    # rule unconditionally).  JAX_PLATFORMS=cpu already prevents any tpu
+    # backend initialization.
     for _k in list(getattr(_xb, "_backend_factories", {})):
-        if "axon" in _k or "tpu" in _k:
+        if "axon" in _k:
             _xb._backend_factories.pop(_k, None)
 except Exception:  # pragma: no cover - best effort
     pass

@@ -46,6 +46,28 @@ def test_dynamic_obstacle_monte_carlo():
     assert 0.0 <= summary.hji_active_frac <= 1.0
 
 
+def test_rollout_per_scenario_t0():
+    """Per-scenario start times must anchor each scenario's time grid: two
+    identical states at different path times see different Delta-s in the
+    coupled Q_ds objective and command different longitudinal forces."""
+    from pigeon_tpu.parallel.mesh import BatchedController
+    cfg = M.x1_coupled_config()
+    tube = trj.straight_trajectory(200.0, 6.0, pad_to=64)
+    ctrl = BatchedController(cfg, tube)
+    # both cars physically at s=60 m, but one's schedule says t=0 (it is
+    # 10 s "early"); the scheduled car tracks, the early one must brake
+    q0 = jnp.asarray([[0.0, 60.0, 0.0, 6.0, 0.0, 0.0]] * 2, jnp.float64)
+    state = ctrl.init_state(q0)
+    t0 = jnp.asarray([10.0, 0.0], jnp.float64)
+    state, (q_log, u_log, oc_log, diag) = ctrl.rollout(state, 5, t0=t0)
+    u = np.asarray(u_log)
+    assert np.all(np.isfinite(u))
+    Fx = u[-1, :, 1] + u[-1, :, 2]
+    # scenario 0 (on schedule) holds speed; scenario 1 (ahead of schedule)
+    # brakes hard -- the commands must differ decisively
+    assert Fx[1] < Fx[0] - 500.0
+
+
 def test_rollout_other_car_advances():
     """The human car must actually move during rollout (constant-velocity
     prediction)."""

@@ -62,6 +62,44 @@ def test_runtime_gating_time_window():
     assert r.on_state(_msg(seq=3, t=100.5)) is not None
 
 
+def test_runtime_mode_dispatch_path_to_traj():
+    """Reference behavior (src/ros_integration.jl:48-49): the decoupled
+    controller serves :path mode and the coupled one :traj mode; a
+    trajectory callback swaps mode and drops the (traj) warm start."""
+    import dataclasses
+    hz = HorizonParams(N_short=2, N_long=3)
+    cfg_p = M.x1_decoupled_config(hz=hz)
+    cfg_t = dataclasses.replace(M.x1_coupled_config(hz=hz), timed_mode=True)
+    r = ControllerRuntime(cfg_path=cfg_p, cfg_traj=cfg_t, pad_to=32,
+                          use_hji_policy=True)
+    tube = trj.straight_trajectory(60.0, 5.0, pad_to=32)
+    r.set_path(tube)
+    assert r.tracking_mode == "path"
+    # path-mode program must never carry the HJI hammer override
+    assert not r.cfgs["path"].use_hji_policy
+    assert r.cfgs["traj"].use_hji_policy
+    cmd = r.on_state(_msg(seq=1))
+    assert cmd is not None and np.isfinite(cmd.delta_cmd_rad)
+    # decoupled controller ran: its carry warmed, traj carry untouched
+    assert bool(r.carries["path"].solved)
+    assert not bool(r.carries["traj"].solved)
+
+    # mid-stream trajectory callback: swap to :traj
+    r.set_trajectory(tube, stamp=10.0)
+    assert r.tracking_mode == "traj"
+    assert not bool(r.carries["traj"].solved)    # warm start dropped
+    cmd2 = r.on_state(_msg(seq=2, t=10.5))
+    assert cmd2 is not None and np.isfinite(cmd2.delta_cmd_rad)
+    assert bool(r.carries["traj"].solved)        # coupled controller ran
+
+    # swapping back re-selects the (still-warm) path controller
+    r.set_path(tube)
+    assert r.tracking_mode == "path"
+    assert not bool(r.carries["path"].solved)    # reference drops it too
+    cmd3 = r.on_state(_msg(seq=3, t=10.6))
+    assert cmd3 is not None
+
+
 def test_runtime_heartbeat_recovery(rt):
     hb = rt.heartbeat
     cmd = rt.on_state(_msg(seq=hb + 5, t=0.05))   # 4 messages lost
