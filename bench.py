@@ -58,10 +58,14 @@ def main():
     # launch configuration; convergence at this budget is checked below).
     cfg = M.x1_coupled_config()
     backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    # Precision ladder: `solver_iters` bf16 bulk iterations (one MXU pass
+    # each) + up to two fp32 polish segments of solver_iters/2.
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
-        max_iter=args.solver_iters * 2, check_every=args.solver_iters,
+        max_iter=args.solver_iters, check_every=max(args.solver_iters // 2,
+                                                    1),
         eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
-        factor_method="banded"))
+        factor_method="banded", bf16_bulk_iters=args.solver_iters,
+        pallas_tile=4))
 
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)

@@ -205,10 +205,18 @@ class SolverOptions:
     # Iteration backend: "xla" (portable) or "pallas" (TPU kernel holding
     # A / K^-1 in VMEM across iterations — the OSQP-hot-loop replacement).
     backend: str = "xla"
-    # KKT factorization: "chol" (exact, slow batched Cholesky on TPU) or
-    # "ns" (Newton-Schulz inverse — square MXU matmuls only).
+    # KKT factorization: "chol" (exact, slow batched Cholesky on TPU),
+    # "ns" (Newton-Schulz inverse — square MXU matmuls only), or "banded"
+    # (block-tridiagonal stage factorization; needs a banded_plan).
     factor_method: str = "chol"
     ns_iters: int = 30
+    # Pallas batched-path tuning: instances per VMEM tile (4 fits the
+    # coupled QP's ~3 MB/instance working set in 16 MB VMEM with double
+    # buffering; 8 overflows), and the bf16 bulk phase of the precision
+    # ladder: that many one-pass-MXU bf16 iterations run before the fp32
+    # polish segments (~6x cheaper per iteration; 0 disables).
+    pallas_tile: int = 4
+    bf16_bulk_iters: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

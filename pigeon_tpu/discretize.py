@@ -108,21 +108,27 @@ def linearize_foh(f, q, ur0, urf, dt, n_keep: int, substeps: int = 1):
 # Exact discretization of the continuously-linearized system
 # ---------------------------------------------------------------------------
 
-def expm_fixed(M, squarings: int = 8, order: int = 8):
+def expm_fixed(M, squarings: int = 8, order: int = 8,
+               precision: str = "highest"):
     """Matrix exponential by fixed scaling-and-squaring + Taylor series.
 
     Deterministic and branch-free (unlike Pade implementations with
     norm-dependent scaling), hence cheap to vmap/jit on TPU.  With
     squarings=8 the scaled norm is ||M||/256; Taylor-8 then gives ~1e-14
     relative error for ||M|| up to ~10, which covers the vehicle Jacobians
-    (|entries| * dt_long <~ 8).
+    (|entries| * dt_long <~ 8; worst case ~190/s tire modes at V_min=1).
+
+    precision: TPU matmul precision for the chain.  "highest" (6-pass
+    fp32 emulation) for reference-grade accuracy; "high" (3-pass, ~5e-7
+    relative per matmul, ~2^squarings amplified) is plenty for the MPC
+    constraint rows at the solver's 1e-3 tolerance and twice as fast on
+    the hot path.  The default bf16 single pass would wreck the
+    repeated-squaring error amplification — never use it here.
     """
     n = M.shape[-1]
     S = M / (2.0 ** squarings)
     eye = jnp.eye(n, dtype=M.dtype)
-    # full-precision matmuls: on TPU the default bf16 passes would wreck
-    # the repeated-squaring error amplification
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         # Horner evaluation of sum_k S^k / k!
         E = eye + S / order
         for k in range(order - 1, 0, -1):
@@ -237,11 +243,18 @@ def extract_affine_horizon(E, dts, urs, urs_next, n: int, m: int,
     return A, B0_full[:, :, :n_keep], Bf_full[:, :, :n_keep], c
 
 
-def linearize_horizon_fused(f, qs, urs, dts, S: int, n_keep: int):
+def linearize_horizon_fused(f, qs, urs, dts, S: int, n_keep: int,
+                            squarings: int = 8, order: int = 8,
+                            precision: str = "highest"):
     """ZOH for stages [0, S), FOH for [S, T): one fused expm.
 
     urs has N = T+1 rows (inputs at every knot); FOH stages ramp
-    urs[t] -> urs[t+1]; ZOH stages hold urs[t] (ramp block zeroed).
+    urs[t] -> urs[t+1]; ZOH stages hold urs[t] (ramp block zeroed, for
+    which Phi_qv is exactly 0, so the shared extraction degenerates to
+    the ZOH model with Bf = 0).  One (T, n+2m+1, ...) expm chain replaces
+    the two per-hold-order vmapped chains — the single largest batched-
+    matmul-dispatch reduction on the QP assembly hot path (the split
+    chains were ~57 ms at B=2048 on v5e; see profiling.py).
     """
     T = dts.shape[0]
     n = qs.shape[-1]
@@ -252,6 +265,7 @@ def linearize_horizon_fused(f, qs, urs, dts, S: int, n_keep: int):
     ramp = jnp.broadcast_to(jnp.eye(m, dtype=qs.dtype), (T, m, m))
     M = M.at[:, n:n + m, n + m:n + 2 * m].set(
         jnp.where(foh, ramp, jnp.zeros_like(ramp)))
-    E = expm_fixed(M * dts[:, None, None])
+    E = expm_fixed(M * dts[:, None, None], squarings=squarings,
+                   order=order, precision=precision)
     urs_next = urs[1:]
     return extract_affine_horizon(E, dts, urs[:T], urs_next, n, m, n_keep)

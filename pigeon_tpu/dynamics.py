@@ -56,24 +56,29 @@ def fiala_tire_model(alpha, Ca, mu, Fx, Fz):
     return jnp.where(jnp.abs(Fx) >= F_max, 0.0, val)
 
 
-def _inv_fiala(Fy, Ca, Fy_max):
+def _inv_fiala(Fy, Ca, Fy_max, corrected: bool = True):
     """Inverse of `_fiala`: slip tan(alpha) producing lateral force Fy
     (reference `_invfialatiremodel`, src/vehicle_dynamics.jl:56-62).
 
-    DELIBERATE DEVIATION: the reference's unsaturated branch returns the
-    *normalized* slip u = tan(alpha)/tan(alpha_slide) while documenting (and
-    using) it as tan(alpha) — it omits the `3*Fy_max/Ca` factor
+    DELIBERATE DEVIATION (default, corrected=True): the reference's
+    unsaturated branch returns the *normalized* slip
+    u = tan(alpha)/tan(alpha_slide) while documenting (and using) it as
+    tan(alpha) — it omits the `3*Fy_max/Ca` factor
     (src/vehicle_dynamics.jl:60).  With the factor restored (exact algebraic
     inverse: |Fy|/Fy_max = 1-(1-u)^3), `steady_state_estimates` produces a
     true equilibrium of the tracking dynamics (Uy_dot = r_dot = 0 at trim),
     which the reference's version does not; see
     tests/test_dynamics.py::test_trim_steady_cornering_is_equilibrium.
+
+    corrected=False reproduces the reference formula verbatim (the parity
+    harness's reference-faithful mode).
     """
     tan_slide = 3.0 * Fy_max / Ca
     sat = -tan_slide * jnp.sign(Fy)
     r = jnp.abs(Fy) / jnp.maximum(Fy_max, _TINY)
     u = -(1.0 + jnp.cbrt(r - 1.0)) * jnp.sign(Fy)
-    return jnp.where(jnp.abs(Fy) >= Fy_max, sat, u * tan_slide)
+    scale = tan_slide if corrected else 1.0
+    return jnp.where(jnp.abs(Fy) >= Fy_max, sat, u * scale)
 
 
 def inv_fiala_tire_model(Fy, Ca, mu, Fx, Fz):
@@ -335,7 +340,9 @@ class TrimEstimate(NamedTuple):
 
 def steady_state_estimates(veh: VehicleParams, V, A_tan, kappa,
                            num_iters: int = 4, r=None, beta0=0.0,
-                           delta0=0.0, Fyf0=0.0) -> TrimEstimate:
+                           delta0=0.0, Fyf0=0.0,
+                           corrected_tire_inverse: bool = True
+                           ) -> TrimEstimate:
     """Iterative trim solve for (beta, delta, Fxf, Fxr, A) tracking speed V,
     tangential accel A_tan and curvature kappa under friction-circle
     prioritization (radial first).  Seeds the MPC linearization nodes.
@@ -343,6 +350,9 @@ def steady_state_estimates(veh: VehicleParams, V, A_tan, kappa,
     Faithful functional transcription of the reference's fixed-point loop
     (src/vehicle_dynamics.jl:319-390); the loop is unrolled (num_iters is
     static, <=4) so XLA fuses it into straight-line vector code.
+
+    corrected_tire_inverse=False uses the reference's `_invfialatiremodel`
+    verbatim (see `_inv_fiala`) for the parity harness.
     """
     V = jnp.asarray(V, dtype=jnp.result_type(float))
     A_tan = jnp.broadcast_to(jnp.asarray(A_tan, V.dtype), V.shape)
@@ -403,7 +413,7 @@ def steady_state_estimates(veh: VehicleParams, V, A_tan, kappa,
         Fyr_max = jnp.sqrt(jnp.maximum(Fr_max * Fr_max - Fxr * Fxr, 0.0))
         Fyr = (Ay * m - r_dot * Izz / a) / (1.0 + b / a)
         Fyr = jnp.clip(Fyr, -Fyr_max, Fyr_max)
-        tan_ar = _inv_fiala(Fyr, Car, Fyr_max)
+        tan_ar = _inv_fiala(Fyr, Car, Fyr_max, corrected_tire_inverse)
 
         Fxf_b = jnp.clip(Fx - Fxr, -Ff_max, Ff_max)
         Fyf_b_max = jnp.sqrt(jnp.maximum(Ff_max * Ff_max - Fxf_b * Fxf_b, 0.0))
@@ -411,7 +421,8 @@ def steady_state_estimates(veh: VehicleParams, V, A_tan, kappa,
         Fxf = Fxf_b * c_delta + Fyf_b * s_delta
         Fyf = Fyf_b * c_delta - Fxf_b * s_delta
         Fyf_max = jnp.sqrt(jnp.maximum(Ff_max * Ff_max - Fxf * Fxf, 0.0))
-        alpha_f = jnp.arctan(_inv_fiala(Fyf, Caf, Fyf_max))
+        alpha_f = jnp.arctan(_inv_fiala(Fyf, Caf, Fyf_max,
+                                        corrected_tire_inverse))
         delta = jnp.arctan2(Uy + a * r, Ux) - alpha_f
 
         if i == num_iters - 1:

@@ -49,6 +49,21 @@ class MPCConfig:
     sim_substeps: int = 1
     warm_nodes: bool = True               # resample prev solution as nodes
                                           # (reference coupled warm branch)
+    # --- parity knobs (the deviation set vs the reference algorithm) -----
+    # tire_inverse: "corrected" restores the 3*Fy_max/Ca factor the
+    # reference omits (`dynamics._inv_fiala`); "reference" replicates the
+    # reference's formula verbatim (src/vehicle_dynamics.jl:56-62).
+    tire_inverse: str = "corrected"
+    # lin_method: "expm" = continuous-linearize + exact discretization
+    # (unconditionally stable for the stiff tire modes); "rk4" = jacfwd
+    # through an RK4 integrator step, the reference coupled controller's
+    # path (src/coupled_lat_long.jl:253,262) with `lin_substeps` steps.
+    lin_method: str = "expm"
+    lin_substeps: int = 1
+    # clamp_commands: apply actuation limits to the published command (the
+    # reference publishes the raw QP value and relies on OSQP convergence
+    # + the ECU's physical limits).
+    clamp_commands: bool = True
 
 
 def x1_coupled_config(**kw) -> MPCConfig:
@@ -184,6 +199,8 @@ def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
     taus = jnp.concatenate([dt[1:], dt[N - 2:N - 1]])   # tau for i=1..N-1
     idx = jnp.arange(1, N)
 
+    cti = cfg.tire_inverse == "corrected"
+
     def body(carry, inp):
         V, s = carry
         i, tau, t_i = inp
@@ -193,9 +210,10 @@ def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
         short = i <= S
         est1 = dyn.steady_state_estimates(
             veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
-            delta0=delta0, Fyf0=Fyf0)
+            delta0=delta0, Fyf0=Fyf0, corrected_tire_inverse=cti)
         est4 = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
-                                          num_iters=4)
+                                          num_iters=4,
+                                          corrected_tire_inverse=cti)
         q_short = jnp.stack([ds_i, q0[3], q0[4], q0[5],
                              adiff(q0[2], tj.psi), e0])
         q_long = jnp.stack([ds_i, est4.Ux, est4.Uy, est4.r, -est4.beta,
@@ -277,6 +295,8 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
     taus = jnp.concatenate([dt[1:], dt[N - 2:N - 1]])
     idx = jnp.arange(1, N)
 
+    cti = cfg.tire_inverse == "corrected"
+
     def body(carry, inp):
         V, s = carry
         i, tau, t_i = inp
@@ -286,9 +306,10 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
         short = i <= S
         est1 = dyn.steady_state_estimates(
             veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
-            delta0=delta0, Fyf0=Fyf0)
+            delta0=delta0, Fyf0=Fyf0, corrected_tire_inverse=cti)
         est4 = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
-                                          num_iters=4)
+                                          num_iters=4,
+                                          corrected_tire_inverse=cti)
         q = jnp.where(short,
                       jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0]),
                       jnp.stack([est4.Uy, est4.r, -est4.beta, 0.0 * s]))
@@ -314,21 +335,30 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
 # The MPC step
 # ---------------------------------------------------------------------------
 
-def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
-             cache: hji_mod.HJICache, carry: MPCCarry, q0, u0, other_car, t,
-             nodes_mode: str = "auto"):
-    """One full control step.  Pure function of its inputs; vmap over
-    (tube, carry, q0, u0, other_car, t) for scenario batching.
+class _PreAux(NamedTuple):
+    """Pre-solve values the post-solve phase needs."""
 
-    Mirrors the reference callback pipeline `src/ros_integration.jl:94-150`
-    (4-phase MPC + HJI override + NaN fallback).
-    Returns (new_carry, u3_command, diagnostics).
+    ts: jnp.ndarray
+    s0: jnp.ndarray
+    e0: jnp.ndarray
+    V_hji: jnp.ndarray
+    gradV: jnp.ndarray
+    x_rel: jnp.ndarray
+    us: jnp.ndarray      # node controls (decoupled control extraction)
 
-    nodes_mode: "auto" selects cold/warm per the carry's solved flag
-    (computing both under vmap); "warm_only" skips the cold trim rollout —
-    valid only when the caller guarantees every carry is warm (see
-    `mpc_step_batched`, which branches once per batch on that predicate).
-    """
+
+def _banded_plan_for(cfg: MPCConfig):
+    if (cfg.solver.factor_method == "banded"
+            and cfg.formulation == "coupled"):
+        from pigeon_tpu.solver.banded import coupled_stage_plan
+        return coupled_stage_plan(cfg.hz, cfg.coupled.use_walls)
+    return None
+
+
+def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
+               other_car, t, nodes_mode: str = "auto"):
+    """Projection, node seeding, HJI constraint, linearization and QP
+    assembly — everything up to the solver call."""
     veh, hz = cfg.veh, cfg.hz
     ts, dt = compute_time_steps(hz, t)
     s0, e0, _ = trj.path_coordinates(tube, q0[:2])
@@ -365,7 +395,9 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
             edges = None
         data = qp_coupled.CoupledStageData(dt=dt, qs=qs, us=us, ps=ps,
                                            hji_M=M, hji_b=b, edges=edges)
-        qp = qp_coupled.build_qp(veh, cfg.coupled, hz, data)
+        qp = qp_coupled.build_qp(veh, cfg.coupled, hz, data,
+                                 lin_method=cfg.lin_method,
+                                 lin_substeps=cfg.lin_substeps)
     else:
         qs, us, ps = _nodes_decoupled(cfg, tube, q0, u0, ts, dt)
         V_hji = jnp.asarray(jnp.inf, q0.dtype)
@@ -379,31 +411,34 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
         y=jnp.where(carry.solved, carry.warm_y, 0.0),
         z=jnp.where(carry.solved, carry.warm_z, 0.0),
         rho_scale=jnp.where(carry.solved, carry.warm_rho, 1.0))
-    banded_plan = None
-    if (cfg.solver.factor_method == "banded"
-            and cfg.formulation == "coupled"):
-        from pigeon_tpu.solver.banded import coupled_stage_plan
-        banded_plan = coupled_stage_plan(hz, cfg.coupled.use_walls)
-    sol = solve_qp(qp, warm=warm_start, opts=cfg.solver,
-                   banded_plan=banded_plan)
+    aux = _PreAux(ts=ts, s0=s0, e0=e0, V_hji=V_hji, gradV=gradV,
+                  x_rel=x_rel, us=us)
+    return qp, warm_start, aux
 
+
+def _post_solve(cfg: MPCConfig, carry: MPCCarry, q0,
+                sol: QPSolution, aux: _PreAux):
+    """Control extraction, clamping, HJI override, NaN fallback, carry
+    update (reference src/ros_integration.jl:115-150)."""
+    veh, hz = cfg.veh, cfg.hz
     if cfg.formulation == "coupled":
         u2 = qp_coupled.extract_control(veh, hz, sol.x,
                                         cfg.coupled.use_walls)
         q_sol, u_sol = qp_coupled.extract_trajectory(hz, sol.x, veh,
                                                      cfg.coupled.use_walls)
     else:
-        u2 = qp_decoupled.extract_control(hz, sol.x, us)
+        u2 = qp_decoupled.extract_control(hz, sol.x, aux.us)
         L = qp_decoupled.get_layout(hz)
         q_sol, u_sol = sol.x[L.q], jnp.stack(
-            [sol.x[L.d], us[:, 1]], axis=-1)
+            [sol.x[L.d], aux.us[:, 1]], axis=-1)
 
     # Actuation clamp on the commanded control (robustness deviation from
     # the reference, which publishes the raw QP value: the autobox ECU
     # enforces these limits physically, and a non-converged ADMM iterate
     # can otherwise exceed them; reference relies on OSQP's 4000-iteration
-    # budget instead).
-    u2 = dyn.apply_control_limits(veh, u2, q0[3])
+    # budget instead).  Disabled in the parity harness's faithful mode.
+    if cfg.clamp_commands:
+        u2 = dyn.apply_control_limits(veh, u2, q0[3])
     Fxf, Fxr = dyn.longitudinal_split(veh, u2[1])
     u3 = jnp.stack([u2[0], Fxf, Fxr])
 
@@ -414,15 +449,15 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
 
     # HJI least-restrictive override ("hammer"; reference
     # src/ros_integration.jl:115-125)
-    hji_active = V_hji <= cfg.hji_eps
+    hji_active = aux.V_hji <= cfg.hji_eps
     if cfg.formulation == "coupled" and cfg.use_hji_policy:
-        u2_opt = hji_mod.optimal_control(veh, x_rel, gradV)
+        u2_opt = hji_mod.optimal_control(veh, aux.x_rel, aux.gradV)
         Fxf_o, Fxr_o = dyn.longitudinal_split(veh, u2_opt[1])
         u3_opt = jnp.stack([u2_opt[0], Fxf_o, Fxr_o])
         u3_out = jnp.where(hji_active, u3_opt, u3_out)
 
     new_carry = MPCCarry(
-        prev_ts=ts,
+        prev_ts=aux.ts,
         q_prev=jnp.where(finite, q_sol, carry.q_prev),
         u_prev=jnp.where(finite, u_sol, carry.u_prev),
         solved=finite,
@@ -434,11 +469,34 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
         warm_rho=jnp.where(finite, sol.rho_scale, 1.0),
     )
     diag = StepDiagnostics(
-        s=s0, e=e0, V_hji=V_hji, hji_active=hji_active,
+        s=aux.s0, e=aux.e0, V_hji=aux.V_hji, hji_active=hji_active,
         iterations=sol.iterations, prim_res=sol.prim_res,
         dual_res=sol.dual_res, converged=sol.converged,
         solution_finite=finite)
     return new_carry, u3_out, diag
+
+
+def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
+             cache: hji_mod.HJICache, carry: MPCCarry, q0, u0, other_car, t,
+             nodes_mode: str = "auto"):
+    """One full control step.  Pure function of its inputs; vmap over
+    (tube, carry, q0, u0, other_car, t) for scenario batching (but prefer
+    `mpc_step_batched`, which batches the solver natively).
+
+    Mirrors the reference callback pipeline `src/ros_integration.jl:94-150`
+    (4-phase MPC + HJI override + NaN fallback).
+    Returns (new_carry, u3_command, diagnostics).
+
+    nodes_mode: "auto" selects cold/warm per the carry's solved flag
+    (computing both under vmap); "warm_only" skips the cold trim rollout —
+    valid only when the caller guarantees every carry is warm (see
+    `mpc_step_batched`, which branches once per batch on that predicate).
+    """
+    qp, warm_start, aux = _pre_solve(cfg, tube, cache, carry, q0, u0,
+                                     other_car, t, nodes_mode)
+    sol = solve_qp(qp, warm=warm_start, opts=cfg.solver,
+                   banded_plan=_banded_plan_for(cfg))
+    return _post_solve(cfg, carry, q0, sol, aux)
 
 
 # ---------------------------------------------------------------------------
@@ -486,31 +544,36 @@ def simulate(cfg: MPCConfig, tube: trj.TrajectoryTube,
 def mpc_step_batched(cfg: MPCConfig, tube: trj.TrajectoryTube,
                      cache: hji_mod.HJICache, carries: MPCCarry, q0s, u0s,
                      other_cars, ts):
-    """Batched control step with a batch-level cold/warm branch.
+    """Batched control step: vmapped pre-solve (with a batch-level
+    cold/warm branch), NATIVELY BATCHED solver, vmapped post-solve.
 
-    Under plain vmap the per-element cold/warm select computes BOTH node
-    paths for every scenario; in steady state the whole fleet is warm and
-    the cold trim rollout (~35 ms at B=2048 on v5e) is wasted.  Branching
-    once on the scalar "is anyone cold" predicate with lax.cond executes
-    only the warm path on steady-state steps.  Coupled formulation only
-    (the decoupled controller has no warm node branch, like the reference).
+    The batch-level lax.cond on "is anyone cold" executes only the warm
+    node path on steady-state steps (under plain vmap the per-element
+    select would compute the cold trim rollout for every scenario every
+    step).  The solver runs through `solve_qp_batched`, which on the
+    pallas backend tiles `cfg.solver.pallas_tile` instances per VMEM block
+    and applies the bf16-bulk + fp32-polish precision ladder — structure
+    that is impossible under per-instance vmap.
     """
-    if cfg.formulation != "coupled" or not cfg.warm_nodes:
-        return jax.vmap(lambda c, q, u, oc, t: mpc_step(
-            cfg, tube, cache, c, q, u, oc, t))(carries, q0s, u0s,
-                                               other_cars, ts)
+    from pigeon_tpu.solver.admm import solve_qp_batched
 
-    def auto(args):
-        c, q, u, oc, t = args
-        return jax.vmap(lambda c_, q_, u_, oc_, t_: mpc_step(
-            cfg, tube, cache, c_, q_, u_, oc_, t_, "auto"))(c, q, u, oc, t)
+    def pre(mode):
+        def run(args):
+            c, q, u, oc, t = args
+            return jax.vmap(lambda c_, q_, u_, oc_, t_: _pre_solve(
+                cfg, tube, cache, c_, q_, u_, oc_, t_, mode))(c, q, u, oc,
+                                                              t)
+        return run
 
-    def warm_only(args):
-        c, q, u, oc, t = args
-        return jax.vmap(lambda c_, q_, u_, oc_, t_: mpc_step(
-            cfg, tube, cache, c_, q_, u_, oc_, t_, "warm_only"))(
-            c, q, u, oc, t)
+    args = (carries, q0s, u0s, other_cars, ts)
+    if cfg.formulation == "coupled" and cfg.warm_nodes:
+        any_cold = jnp.logical_not(jnp.all(carries.solved))
+        qp, warm, aux = jax.lax.cond(any_cold, pre("auto"),
+                                     pre("warm_only"), args)
+    else:
+        qp, warm, aux = pre("auto")(args)
 
-    any_cold = jnp.logical_not(jnp.all(carries.solved))
-    return jax.lax.cond(any_cold, auto, warm_only,
-                        (carries, q0s, u0s, other_cars, ts))
+    sol = solve_qp_batched(qp, warm, cfg.solver,
+                           banded_plan=_banded_plan_for(cfg))
+    return jax.vmap(lambda c, q, s, a: _post_solve(cfg, c, q, s, a))(
+        carries, q0s, sol, aux)

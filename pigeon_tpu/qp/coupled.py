@@ -130,7 +130,7 @@ class CoupledStageData(NamedTuple):
 
 def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
              hz: HorizonParams, data: CoupledStageData,
-             lin_method: str = "expm") -> QPData:
+             lin_method: str = "expm", lin_substeps: int = 1) -> QPData:
     """Linearize along the horizon and assemble the canonical QP.
 
     lin_method "expm" (default) continuously linearizes then *exactly*
@@ -138,7 +138,10 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
     one-RK4-step approach amplifies the stiff lateral tire modes over
     dt_long=0.2: |lambda| ~ 250/Ux 1/s puts lambda*dt far outside RK4's
     stability region, which destabilizes the long-horizon LTV model).
-    "rk4" mirrors the reference integrator path with substeps.
+    "rk4" mirrors the reference integrator path (`linearize(...,
+    StepControl/RampControl)` ForwardDiff-ing through the RK4 propagate,
+    src/coupled_lat_long.jl:253,262) with `lin_substeps` RK4 steps per
+    stage (1 = the reference-faithful single step).
     """
     S, Lg, N = hz.N_short, hz.N_long, hz.N
     T = S + Lg
@@ -152,25 +155,36 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
 
     ur = jnp.concatenate([us, ps], axis=-1)        # (N, 6)
 
-    if lin_method == "expm":
-        # ZOH linearization, short horizon (reference :336)
+    if lin_method == "expm_split":
+        # per-hold-order chains at reference-grade precision (slow path,
+        # kept for bisection/validation against the fused chain)
         Az, Bz, cz = jax.vmap(
             lambda q, u, h: dz.linearize_affine_zoh(f, q, u, h, 2))(
             qs[:S], ur[:S], dt[:S])
-        # FOH linearization, long horizon (reference :348)
-        # (a fused single-expm variant exists in
-        # discretize.linearize_horizon_fused; measured neutral-to-slower
-        # here because ZOH stages pay the 19x19 augmentation)
         Af, B0f, Bff, cf = jax.vmap(
-            lambda q, u0, uf, h: dz.linearize_affine_foh(f, q, u0, uf, h, 2))(
+            lambda q, u0, uf, h: dz.linearize_affine_foh(f, q, u0, uf, h,
+                                                         2))(
             qs[S:T], ur[S:T], ur[S + 1:N], dt[S:T])
+    elif lin_method == "expm":
+        # ZOH (short horizon, reference :336) + FOH (long horizon, :348)
+        # as ONE fused 19x19 expm chain over all T stages with tuned
+        # squarings/order (7, 6): 12 batched matmuls at 3-pass precision
+        # vs the split chains' 30 at 6-pass — the QP-assembly hot-path
+        # fix (57 -> ~15 ms at B=2048; error ~1e-5 relative at the
+        # worst-case ||J*dt|| ~ 38 of the V_min=1 tire modes, far inside
+        # the solver's 1e-3 tolerance).
+        A_all, B0_all, Bf_all, c_all = dz.linearize_horizon_fused(
+            f, qs, ur, dt, S, 2, squarings=7, order=6, precision="high")
+        Az, Bz, cz = A_all[:S], B0_all[:S], c_all[:S]
+        Af, B0f, Bff, cf = A_all[S:], B0_all[S:], Bf_all[S:], c_all[S:]
     else:
         Az, Bz, cz = jax.vmap(
-            lambda q, u, h: dz.linearize_zoh(f, q, u, h, 2))(
+            lambda q, u, h: dz.linearize_zoh(f, q, u, h, 2,
+                                             substeps=lin_substeps))(
             qs[:S], ur[:S], dt[:S])
         Af, B0f, Bff, cf = jax.vmap(
             lambda q, u0, uf, h: dz.linearize_foh(f, q, u0, uf, h, 2,
-                                                  substeps=8))(
+                                                  substeps=lin_substeps))(
             qs[S:T], ur[S:T], ur[S + 1:N], dt[S:T])
 
     # per-stage envelope + bounds at the t+1 nodes (reference :356-366)

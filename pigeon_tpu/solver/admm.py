@@ -311,3 +311,145 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
         iterations=seg_i * opts.check_every,
         prim_res=r_prim, dual_res=r_dual, converged=converged,
         rho_scale=rho_scale)
+
+
+# ---------------------------------------------------------------------------
+# Batched solve (the TPU throughput path)
+# ---------------------------------------------------------------------------
+
+def solve_qp_batched(qp: QPData, warm: QPWarmStart,
+                     opts: SolverOptions = SolverOptions(),
+                     banded_plan=None) -> QPSolution:
+    """Solve a BATCH of QPs (leading batch axis on every leaf).
+
+    XLA backend: the vmapped single-instance solver (portable, CPU tests).
+    Pallas backend: a natively batched pipeline — vmapped Ruiz +
+    factorization, then ADMM segments as whole-batch VMEM kernel calls
+    with `opts.pallas_tile` instances per grid step, a bf16 bulk phase
+    (`opts.bf16_bulk_iters` one-MXU-pass iterations, ~6x cheaper) followed
+    by fp32 polish segments, batch-level convergence control, and
+    factorization reuse across segments (refactor only when some
+    instance's adaptive rho drifts).  Under plain vmap the tile>1 VMEM
+    batching is impossible (each traced instance has batch 1), which is
+    why this path exists.
+    """
+    if opts.backend != "pallas":
+        return jax.vmap(lambda q, w: solve_qp(q, w, opts, banded_plan))(
+            qp, warm)
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_pallas_batched(qp, warm, opts, banded_plan)
+
+
+def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
+                             opts: SolverOptions,
+                             banded_plan=None) -> QPSolution:
+    from pigeon_tpu.solver.pallas_admm import admm_iterations
+
+    dtype = qp.q.dtype
+    B = qp.q.shape[0]
+    qps, D, E, c = jax.vmap(lambda q: _ruiz(q, opts.scaling_iters))(qp) \
+        if opts.scaling_iters > 0 else (
+            qp, jnp.ones_like(qp.q), jnp.ones_like(qp.l),
+            jnp.ones((B,), dtype))
+    Pb, qb, Ab, lb, ub = qps
+    sigma = jnp.asarray(opts.sigma, dtype)
+
+    is_eq = (qp.u - qp.l) < 1e-10
+    rho_base = jnp.where(is_eq, opts.rho * opts.rho_eq_scale,
+                         opts.rho).astype(dtype)              # (B, m)
+    rho_scale = (jnp.ones((B,), dtype) if warm.rho_scale is None
+                 else jnp.clip(warm.rho_scale, 1e-6, 1e6).astype(dtype))
+
+    x = warm.x / D
+    z = E * warm.z
+    y = c[:, None] * warm.y / E
+
+    def factor(rho_vec):
+        return jax.vmap(lambda P, A_, r: _factor_inv(
+            P, A_, r, sigma, opts, banded_plan))(Pb, Ab, rho_vec)
+
+    interpret = jax.devices()[0].platform != "tpu"
+
+    def run_iters(Kinv, rho_vec, x, z, y, k, bf16):
+        xo, zo, yo = admm_iterations(
+            Kinv, Ab, qb, lb, ub, rho_vec, x, z, y, k,
+            float(opts.sigma), float(opts.alpha),
+            tile=opts.pallas_tile, bf16=bf16, interpret=interpret)
+        return xo.astype(dtype), zo.astype(dtype), yo.astype(dtype)
+
+    amax = lambda v: jnp.max(jnp.abs(v), axis=-1)
+
+    def residuals(x, z, y):
+        x_u = D * x
+        z_u = z / E
+        y_u = (E * y) / c[:, None]
+        Ax = jnp.einsum("bmn,bn->bm", qp.A, x_u)
+        Px = qp.P_diag * x_u
+        Aty = jnp.einsum("bmn,bm->bn", qp.A, y_u)
+        r_prim = amax(Ax - z_u)
+        r_dual = amax(Px + qp.q + Aty)
+        eps_prim = opts.eps_abs + opts.eps_rel * jnp.maximum(amax(Ax),
+                                                             amax(z_u))
+        eps_dual = opts.eps_abs + opts.eps_rel * jnp.maximum(
+            jnp.maximum(amax(Px), amax(Aty)), amax(qp.q))
+        return r_prim, r_dual, eps_prim, eps_dual, Ax, z_u, Px, Aty
+
+    def rho_suggestion(rho_scale, r_prim, r_dual, Ax, z_u, Px, Aty):
+        num = r_prim / jnp.maximum(jnp.maximum(amax(Ax), amax(z_u)), 1e-12)
+        den = r_dual / jnp.maximum(
+            jnp.maximum(amax(Px), amax(Aty)),
+            jnp.maximum(amax(qp.q), 1e-12))
+        scale = jnp.clip(jnp.sqrt(num / jnp.maximum(den, 1e-12)),
+                         1e-3, 1e3)
+        return jnp.clip(rho_scale * scale, 1e-6, 1e6), scale
+
+    rho_vec = jnp.clip(rho_base * rho_scale[:, None], _RHO_MIN, _RHO_MAX)
+    Kinv = factor(rho_vec)
+
+    # bf16 bulk: cheap one-pass-MXU iterations toward the perturbed fixed
+    # point; the fp32 segments below close the gap to true tolerance.
+    bulk = int(opts.bf16_bulk_iters)
+    if bulk > 0:
+        x, z, y = run_iters(Kinv, rho_vec, x, z, y, bulk, True)
+
+    r_prim, r_dual, eps_p, eps_d, Ax, z_u, Px, Aty = residuals(x, z, y)
+    converged = (r_prim <= eps_p) & (r_dual <= eps_d)
+
+    n_seg = max(1, opts.max_iter // opts.check_every)
+    ADAPT_TOL = 5.0
+
+    def seg_cond(carry):
+        seg_i, converged = carry[6], carry[9]
+        return (seg_i < n_seg) & jnp.logical_not(jnp.all(converged))
+
+    def seg_body(carry):
+        (x, z, y, Kinv, rho_vec, rho_scale, seg_i, _, _, _) = carry
+        x, z, y = run_iters(Kinv, rho_vec, x, z, y, opts.check_every,
+                            False)
+        r_prim, r_dual, eps_p, eps_d, Ax, z_u, Px, Aty = residuals(x, z, y)
+        converged = (r_prim <= eps_p) & (r_dual <= eps_d)
+        if opts.adaptive_rho:
+            pending, scale = rho_suggestion(rho_scale, r_prim, r_dual,
+                                            Ax, z_u, Px, Aty)
+            drift = ((scale > ADAPT_TOL) | (scale < 1.0 / ADAPT_TOL)) \
+                & jnp.logical_not(converged)
+            rho_scale = jnp.where(drift, pending, rho_scale)
+            new_rho_vec = jnp.clip(rho_base * rho_scale[:, None],
+                                   _RHO_MIN, _RHO_MAX)
+            Kinv, rho_vec = jax.lax.cond(
+                jnp.any(drift),
+                lambda: (factor(new_rho_vec), new_rho_vec),
+                lambda: (Kinv, rho_vec))
+        return (x, z, y, Kinv, rho_vec, rho_scale, seg_i + 1,
+                r_prim, r_dual, converged)
+
+    carry = (x, z, y, Kinv, rho_vec, rho_scale,
+             jnp.asarray(0, jnp.int32), r_prim, r_dual, converged)
+    (x, z, y, _, _, rho_scale, seg_i, r_prim, r_dual,
+     converged) = jax.lax.while_loop(seg_cond, seg_body, carry)
+
+    iters = jnp.broadcast_to(bulk + seg_i * opts.check_every, (B,))
+    return QPSolution(
+        x=D * x, y=(E * y) / c[:, None], z=z / E,
+        iterations=iters, prim_res=r_prim, dual_res=r_dual,
+        converged=converged, rho_scale=rho_scale)

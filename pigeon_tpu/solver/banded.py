@@ -118,18 +118,22 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
     `slots` the static stage plan.  Single instance (vmap for batching).
     """
     dtype = Pb.dtype
-    # columns of A grouped by stage block, dummy columns zero
-    A_ext = jnp.concatenate([Ab, jnp.zeros((Ab.shape[0], 1), dtype)], axis=1)
-    Acols = A_ext[:, slots]                       # (m, nb, bw)
-    Acols = jnp.moveaxis(Acols, 0, 1)             # (nb, m, bw)
     P_ext = jnp.concatenate([Pb + sigma, jnp.ones((1,), dtype)])
     P_blk = P_ext[slots]                          # (nb, bw)
 
-    rA = rho_vec[None, :, None] * Acols           # (nb, m, bw)
-    # diagonal blocks K_tt and sub-diagonal blocks K_{t, t-1}
-    K_diag = jnp.einsum("tmi,tmj->tij", Acols, rA)
+    # Dense K = A' rho A as ONE MXU GEMM, then gather the stage blocks
+    # with static indices (dummy slots read the zero padding row/col).
+    # The per-stage-pair einsum formulation this replaces lowered to
+    # nb x (m, bw, bw) contractions at ~2% MXU utilization (15.5 ms at
+    # B=2048 vs ~4 ms for the GEMM+gather; see profiling.py).  3-pass
+    # ("high") precision: a ~5e-7-relative K only perturbs the ADMM
+    # fixed point far below the solver's 1e-3 tolerance.
+    with jax.default_matmul_precision("high"):
+        K_full = (Ab.T * rho_vec[None, :]) @ Ab   # (n, n)
+    K_ext = jnp.pad(K_full, ((0, 1), (0, 1)))
+    K_diag = K_ext[slots[:, :, None], slots[:, None, :]]    # (nb, bw, bw)
     K_diag = K_diag + jax.vmap(jnp.diag)(P_blk)
-    K_sub = jnp.einsum("tmi,tmj->tij", Acols[1:], rA[:-1])   # (nb-1, bw, bw)
+    K_sub = K_ext[slots[1:, :, None], slots[:-1, None, :]]  # (nb-1, bw, bw)
     K_sub = jnp.concatenate([jnp.zeros((1, bw, bw), dtype), K_sub])
 
     # block-tridiagonal Cholesky: scan over stages
@@ -141,8 +145,9 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
         Linv = _inv_lower_unrolled(L)
         return Linv, (Linv, S)
 
-    _, (Linvs, Ss) = jax.lax.scan(
-        chol_body, jnp.zeros((bw, bw), dtype), (K_diag, K_sub))
+    with jax.default_matmul_precision("high"):
+        _, (Linvs, Ss) = jax.lax.scan(
+            chol_body, jnp.zeros((bw, bw), dtype), (K_diag, K_sub))
 
     n_perm = nb * bw
     eye_blocks = jnp.zeros((nb, bw, n_perm), dtype)
@@ -156,14 +161,15 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
         y = Linv @ (It - S @ y_prev)
         return y, y
 
-    _, ys = jax.lax.scan(fwd_body, jnp.zeros((bw, n_perm), dtype),
-                         (Linvs, Ss, eye_blocks))
+    with jax.default_matmul_precision("high"):
+        _, ys = jax.lax.scan(fwd_body, jnp.zeros((bw, n_perm), dtype),
+                             (Linvs, Ss, eye_blocks))
 
-    # The forward solve against the identity IS W = L^-1 (block rows), and
-    # K^-1 = (L L^T)^-1 = L^-T L^-1 = W^T W: one dense MXU matmul replaces
-    # the 16-step backward-substitution scan.
-    W = ys.reshape(n_perm, n_perm)
-    Kinv_perm = W.T @ W
+        # The forward solve against the identity IS W = L^-1 (block rows);
+        # K^-1 = (L L^T)^-1 = L^-T L^-1 = W^T W: one dense MXU matmul
+        # replaces the 16-step backward-substitution scan.
+        W = ys.reshape(n_perm, n_perm)
+        Kinv_perm = W.T @ W
     # un-permute: real variable i lives at permuted position pos[i]
     # (slots is static numpy, so this is all trace-time index arithmetic)
     slots_flat = slots.reshape(-1)

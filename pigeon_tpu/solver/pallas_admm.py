@@ -33,7 +33,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(n_iters: int, sigma: float, alpha: float,
+def _kernel(n_iters: int, sigma: float, alpha: float, bf16: bool,
             Kinv_ref, A_ref, AT_ref, q_ref, l_ref, u_ref, rho_ref,
             x0_ref, z0_ref, y0_ref,
             x_out, z_out, y_out):
@@ -44,6 +44,13 @@ def _kernel(n_iters: int, sigma: float, alpha: float,
     Mosaic's tpu.matmul supports for batched vector x matrix.  K^-1 is
     symmetric, so rhs^T K^-1 == (K^-1 rhs)^T; the A^T product uses an
     explicitly materialized transpose.
+
+    bf16=True: the matrices arrive as bfloat16 and the iterate vectors are
+    rounded to bf16 at each dot input — ONE MXU pass per 128x128 tile
+    instead of the six passes fp32 HIGHEST costs, measured ~6x faster.
+    The iteration then converges to the fixed point of the bf16-perturbed
+    operator (~4e-3 relative); callers run fp32 polish segments afterwards
+    to reach the true tolerance (see solver/admm.py's precision ladder).
     """
     A = A_ref[:]          # (TILE, m, n)
     AT = AT_ref[:]        # (TILE, n, m)
@@ -56,6 +63,15 @@ def _kernel(n_iters: int, sigma: float, alpha: float,
 
     def vmat(v, M):
         # (TILE, 1, k) x (TILE, k, j) -> (TILE, 1, j)
+        if bf16:
+            # precision pinned to DEFAULT: an ambient
+            # default_matmul_precision("highest") context (the solver sets
+            # one) would otherwise request an fp32 contract on bf16
+            # operands, which Mosaic rejects ("Bad lhs type").
+            return jax.lax.dot_general(
+                v.astype(jnp.bfloat16), M, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
         return jax.lax.dot_general(
             v, M, (((2,), (1,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGHEST,
@@ -81,10 +97,11 @@ def _kernel(n_iters: int, sigma: float, alpha: float,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "sigma", "alpha",
-                                             "tile", "interpret"))
+                                             "tile", "interpret", "bf16"))
 def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
                     n_iters: int, sigma: float, alpha: float,
-                    tile: int = 1, interpret: bool = False):
+                    tile: int = 1, interpret: bool = False,
+                    bf16: bool = False):
     """Run `n_iters` ADMM iterations for a batch of QPs entirely in VMEM.
 
     Inputs are the *scaled* problem quantities (post-Ruiz), batched on the
@@ -92,23 +109,26 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
 
     interpret=True runs the kernel in Pallas interpret mode (CPU test
     path asserting bit-level agreement with the XLA backend).
+    bf16=True rounds the matrices (and dot inputs) to bfloat16 — the fast
+    bulk phase of the solver's precision ladder.
     """
     B, m, n = A.shape
     n_pad = _round_up(n, 128)
     m_pad = _round_up(m, 128)
     B_pad = _round_up(B, tile)
     f32 = jnp.float32
+    mat_dtype = jnp.bfloat16 if bf16 else f32
 
-    def pad(arr, shape, fill=0.0):
-        out = jnp.full(shape, fill, f32)
+    def pad(arr, shape, fill=0.0, dtype=f32):
+        out = jnp.full(shape, fill, dtype)
         sl = tuple(slice(0, s) for s in arr.shape)
-        return out.at[sl].set(arr.astype(f32))
+        return out.at[sl].set(arr.astype(dtype))
 
-    Kp = pad(Kinv, (B_pad, n_pad, n_pad))
+    Kp = pad(Kinv, (B_pad, n_pad, n_pad), dtype=mat_dtype)
     # identity on the padded diagonal keeps padded x coords stable
     diag_idx = jnp.arange(n, n_pad)
     Kp = Kp.at[:, diag_idx, diag_idx].set(1.0)
-    Ap = pad(A, (B_pad, m_pad, n_pad))
+    Ap = pad(A, (B_pad, m_pad, n_pad), dtype=mat_dtype)
     ATp = jnp.swapaxes(Ap, -1, -2).copy()
     vec = lambda a: a[:, None, :]
     qp_ = vec(pad(q, (B_pad, n_pad)))
@@ -127,7 +147,8 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
                             lambda i: (i,) + (0,) * len(dims), **kw)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_iters, float(sigma), float(alpha)),
+        functools.partial(_kernel, n_iters, float(sigma), float(alpha),
+                          bool(bf16)),
         grid=grid,
         in_specs=[
             bspec(n_pad, n_pad), bspec(m_pad, n_pad), bspec(n_pad, m_pad),

@@ -202,3 +202,42 @@ def test_fused_horizon_matches_per_stage(x1):
                                        rtol=1e-9, atol=1e-10)
             np.testing.assert_allclose(np.asarray(c[t]), np.asarray(cr),
                                        rtol=1e-8, atol=1e-9)
+
+
+def test_fused_horizon_production_accuracy():
+    """The hot-path setting (squarings=7, order=6, precision='high') must
+    match the reference-grade per-stage linearization, including at the
+    V_min=1 worst case where the tire-mode Jacobian entries reach
+    ~190/s (||J*dt_long|| ~ 38)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pigeon_tpu import discretize as dz
+    from pigeon_tpu import dynamics as dyn
+    from pigeon_tpu.config import x1_params
+
+    veh = x1_params()
+
+    def f(q, ur):
+        return dyn.vehicle_ode(veh, "tracking", q, ur[:2], ur[2:])
+
+    S, T = 2, 5
+    N = T + 1
+    for Ux in (1.0, 6.0, 15.0):
+        qs = jnp.asarray(np.broadcast_to(
+            [0.0, Ux, 0.05, 0.02, 0.01, -0.1], (N, 6)).copy())
+        urs = jnp.asarray(np.broadcast_to(
+            [0.02, 300.0, Ux, 0.01, 0.0, 0.0], (N, 6)).copy())
+        dts = jnp.asarray([0.01, 0.01, 0.2, 0.2, 0.2])
+        A, B0, Bf, c = dz.linearize_horizon_fused(
+            f, qs, urs, dts, S, 2, squarings=7, order=6, precision="high")
+        Ar, B0r, Bfr, cr = jax.vmap(
+            lambda q, u0, uf, h: dz.linearize_affine_foh(f, q, u0, uf, h,
+                                                         2))(
+            qs[S:T], urs[S:T], urs[S + 1:N], dts[S:T])
+        np.testing.assert_allclose(np.asarray(A[S:]), np.asarray(Ar),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(B0[S:]), np.asarray(B0r),
+                                   rtol=1e-7, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(c[S:]), np.asarray(cr),
+                                   rtol=1e-7, atol=1e-8)
