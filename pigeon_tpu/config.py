@@ -217,6 +217,10 @@ class SolverOptions:
     # polish segments (~6x cheaper per iteration; 0 disables).
     pallas_tile: int = 4
     bf16_bulk_iters: int = 0
+    # Tensor-parallel mesh axis name (shard_map) for the KKT factorization:
+    # identity RHS columns of the banded solve are sharded across this
+    # axis and re-assembled with all_gather.  None = no TP.
+    tp_axis: "str | None" = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,7 +139,8 @@ def _factor_inv(Pb, Ab, rho_vec, sigma, opts=None, banded_plan=None):
     if method == "banded" and banded_plan is not None:
         from pigeon_tpu.solver.banded import factor_inv_banded
         slots, n_, bw, nb = banded_plan
-        return factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n_, bw, nb)
+        return factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n_, bw, nb,
+                                 tp_axis=getattr(opts, "tp_axis", None))
     K = (Ab.T * rho_vec[None, :]) @ Ab
     K = K + jnp.diag(Pb + sigma)
     n = Pb.shape[-1]

@@ -111,11 +111,20 @@ def _inv_lower_unrolled(L):
 # ---------------------------------------------------------------------------
 
 def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
-                      nb: int):
+                      nb: int, tp_axis: str | None = None):
     """Dense K^-1 via block-tridiagonal Cholesky of the stage-permuted K.
 
     Pb (n,), Ab (m, n), rho_vec (m,) are the scaled problem quantities;
     `slots` the static stage plan.  Single instance (vmap for batching).
+
+    tp_axis: optional shard_map mesh axis name for TENSOR-PARALLEL
+    factorization — the identity right-hand-side columns of the forward
+    substitution K X = I are split across the axis (each member solves
+    n_perm/tp columns and computes its column block of K^-1 = W'W), then
+    column blocks are re-assembled with `all_gather` over ICI.  This
+    shards the dominant factorization flops (substitution + W'W) across
+    chips for the latency-critical small-batch configuration (SURVEY.md
+    §2 "Tensor parallel" axis).
     """
     dtype = Pb.dtype
     P_ext = jnp.concatenate([Pb + sigma, jnp.ones((1,), dtype)])
@@ -125,10 +134,12 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
     # with static indices (dummy slots read the zero padding row/col).
     # The per-stage-pair einsum formulation this replaces lowered to
     # nb x (m, bw, bw) contractions at ~2% MXU utilization (15.5 ms at
-    # B=2048 vs ~4 ms for the GEMM+gather; see profiling.py).  3-pass
-    # ("high") precision: a ~5e-7-relative K only perturbs the ADMM
-    # fixed point far below the solver's 1e-3 tolerance.
-    with jax.default_matmul_precision("high"):
+    # B=2048; see profiling.py).  Full fp32 ("highest") precision is
+    # REQUIRED throughout the factorization: K's condition number (rho_eq
+    # = 1e3*rho equality rows) amplifies matmul error into K^-1, and a
+    # 3-pass ("high") factor was measured to destroy ADMM convergence
+    # (dual residual floor ~2 vs 0.14; fleet conv 0.10 vs 0.93).
+    with jax.default_matmul_precision("highest"):
         K_full = (Ab.T * rho_vec[None, :]) @ Ab   # (n, n)
     K_ext = jnp.pad(K_full, ((0, 1), (0, 1)))
     K_diag = K_ext[slots[:, :, None], slots[:, None, :]]    # (nb, bw, bw)
@@ -145,15 +156,24 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
         Linv = _inv_lower_unrolled(L)
         return Linv, (Linv, S)
 
-    with jax.default_matmul_precision("high"):
+    with jax.default_matmul_precision("highest"):
         _, (Linvs, Ss) = jax.lax.scan(
             chol_body, jnp.zeros((bw, bw), dtype), (K_diag, K_sub))
 
     n_perm = nb * bw
-    eye_blocks = jnp.zeros((nb, bw, n_perm), dtype)
+    eye_full = jnp.zeros((n_perm, n_perm), dtype)
     rows = jnp.arange(n_perm)
-    eye_blocks = eye_blocks.reshape(n_perm, n_perm).at[rows, rows].set(1.0) \
-        .reshape(nb, bw, n_perm)
+    eye_full = eye_full.at[rows, rows].set(1.0)
+
+    if tp_axis is not None:
+        # tensor-parallel: this member solves only its column slice of I
+        tp_size = jax.lax.psum(1, tp_axis)
+        cols = n_perm // tp_size
+        start = jax.lax.axis_index(tp_axis) * cols
+        eye_blocks = jax.lax.dynamic_slice_in_dim(
+            eye_full, start, cols, axis=1).reshape(nb, bw, cols)
+    else:
+        eye_blocks = eye_full.reshape(nb, bw, n_perm)
 
     # forward substitution: y_t = Linv_t (I_t - S_t y_{t-1})
     def fwd_body(y_prev, inp):
@@ -161,15 +181,25 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
         y = Linv @ (It - S @ y_prev)
         return y, y
 
-    with jax.default_matmul_precision("high"):
-        _, ys = jax.lax.scan(fwd_body, jnp.zeros((bw, n_perm), dtype),
-                             (Linvs, Ss, eye_blocks))
+    with jax.default_matmul_precision("highest"):
+        _, ys = jax.lax.scan(
+            fwd_body, jnp.zeros((bw, eye_blocks.shape[-1]), dtype),
+            (Linvs, Ss, eye_blocks))
 
         # The forward solve against the identity IS W = L^-1 (block rows);
         # K^-1 = (L L^T)^-1 = L^-T L^-1 = W^T W: one dense MXU matmul
         # replaces the 16-step backward-substitution scan.
-        W = ys.reshape(n_perm, n_perm)
-        Kinv_perm = W.T @ W
+        if tp_axis is not None:
+            W_shard = ys.reshape(n_perm, -1)           # (n_perm, cols)
+            # full W on every member (ICI all-gather), then each computes
+            # its own K^-1 column block and the blocks are re-assembled
+            W = jax.lax.all_gather(W_shard, tp_axis, axis=1, tiled=True)
+            Kinv_cols = W.T @ W_shard                  # (n_perm, cols)
+            Kinv_perm = jax.lax.all_gather(Kinv_cols, tp_axis, axis=1,
+                                           tiled=True)
+        else:
+            W = ys.reshape(n_perm, n_perm)
+            Kinv_perm = W.T @ W
     # un-permute: real variable i lives at permuted position pos[i]
     # (slots is static numpy, so this is all trace-time index arithmetic)
     slots_flat = slots.reshape(-1)
