@@ -67,6 +67,69 @@ def collision_distance(x7, margin: float):
     return jnp.hypot(x7[..., 0], x7[..., 1]) - margin
 
 
+def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
+                 floor=None):
+    """Generic N-D avoid-set HJI-VI level-set solver (dimension-agnostic
+    core; the 7-D vehicle problem and the validation games share it).
+
+        V_{k+1} = min( l, V_k + dt * min(0, H_LF) )
+
+    l        : (k1, ..., kN) target function on the grid.
+    hs       : length-N grid spacings.
+    flow_fn  : (X?, gradV) -> f, the optimal-play dynamics; it receives
+               ONLY the value gradient stack (..., N) and must return the
+               flow field (..., N) under u* (maximizing p.f) and d*
+               (minimizing).  Any state dependence is closed over.
+    floor    : mathematical lower bound of V (defaults to min(l)).
+
+    Returns (V, deltas, times): the converged value grid, per-sweep
+    sup-norm updates, and the cumulative pseudo-time after each sweep
+    (so finite-horizon analytic solutions can be compared sweep-by-sweep).
+    """
+    ndim = l.ndim
+    hs_j = jnp.asarray(hs, l.dtype)
+    lo = jnp.min(l) if floor is None else jnp.asarray(floor, l.dtype)
+
+    def sweep(carry, _):
+        V, t = carry
+        Dps, Dms = [], []
+        for ax in range(ndim):
+            Dp, Dm = _axis_diffs(V, hs_j[ax], ax)
+            Dps.append(Dp)
+            Dms.append(Dm)
+        gradV = jnp.stack([(Dp + Dm) * 0.5 for Dp, Dm in zip(Dps, Dms)],
+                          axis=-1)
+        f = flow_fn(gradV)                                # (..., N)
+        H = jnp.sum(gradV * f, axis=-1)
+        # Global (per-axis) Lax-Friedrichs dissipation.  In this module's
+        # sign convention the PDE is V_t = min(0, H(x, DV)), i.e. the
+        # standard-form Hamiltonian is G = -min(0, H); the monotone LF
+        # update V += dt*(-G(p_central) + sum_i alpha_i (D+_i - D-_i)/2)
+        # therefore ADDS the (D+ - D-) term — it acts like a diffusion
+        # (damps odd-even modes; at a local max D+ - D- < 0 pulls V down).
+        # The truncation min(0, .) wraps ONLY the analytic Hamiltonian:
+        # truncating after adding dissipation converts grid noise into a
+        # systematic one-sided decrease (maxima freeze, minima sink) and
+        # amplifies a sawtooth — validated against the analytic isotropic
+        # pursuit game in tests/test_hji_validation.py.
+        alpha_g = jnp.max(jnp.abs(f).reshape(-1, ndim), axis=0)   # (N,)
+        diss = sum(alpha_g[ax] * (Dps[ax] - Dms[ax]) * 0.5
+                   for ax in range(ndim))
+        dt = cfl / jnp.maximum(jnp.sum(alpha_g / hs_j), 1e-6)
+        V_new = jnp.minimum(l, V + dt * (jnp.minimum(0.0, H) + diss))
+        V_new = jnp.maximum(V_new, lo)
+        delta = jnp.max(jnp.abs(V_new - V))
+        return (V_new, t + dt), (delta, t + dt)
+
+    @jax.jit
+    def run(V0):
+        (V, _), (deltas, times) = jax.lax.scan(
+            sweep, (V0, jnp.asarray(0.0, l.dtype)), None, length=n_sweeps)
+        return V, deltas, times
+
+    return run(l)
+
+
 def solve_hji(veh: VehicleParams,
               bounds: Sequence = DEFAULT_BOUNDS,
               shape: Sequence[int] = DEFAULT_SHAPE,
@@ -85,49 +148,17 @@ def solve_hji(veh: VehicleParams,
     X = jnp.asarray(np.stack(grids, axis=-1), dtype)   # (..., 7)
     l = collision_distance(X, margin).astype(dtype)
 
-    hs_j = jnp.asarray(hs, dtype)
-
-    def sweep(V, _):
-        # gradients: central for the Hamiltonian, one-sided for dissipation
-        Dps, Dms = [], []
-        for ax in range(7):
-            Dp, Dm = _axis_diffs(V, hs_j[ax], ax)
-            Dps.append(Dp)
-            Dms.append(Dm)
-        gradV = jnp.stack([(Dp + Dm) * 0.5 for Dp, Dm in zip(Dps, Dms)],
-                          axis=-1)
-
+    def flow(gradV):
         uR = hji_mod.optimal_control(veh, X, gradV, "max",
                                      n_samples=fx_samples)
         uH = hji_mod.optimal_disturbance(veh, X, gradV, "min")
-        f = hji_mod.relative_dynamics(veh, X, uR, uH)    # (..., 7)
+        return hji_mod.relative_dynamics(veh, X, uR, uH)     # (..., 7)
 
-        H = jnp.sum(gradV * f, axis=-1)
-        # global (per-axis) Lax-Friedrichs dissipation: more dissipative
-        # than local alphas but immune to boundary-gradient feedback
-        alpha = jnp.abs(f)
-        alpha_g = jnp.max(alpha.reshape(-1, 7), axis=0)      # (7,)
-        diss = sum(alpha_g[ax] * (Dps[ax] - Dms[ax]) * 0.5
-                   for ax in range(7))
-        H_lf = H - diss
-
-        # CFL-limited global step
-        dt = cfl / jnp.maximum(jnp.sum(alpha_g / hs_j), 1e-6)
-
-        V_new = jnp.minimum(l, V + dt * jnp.minimum(0.0, H_lf))
-        # mathematical floor: V = min-over-time of l >= min(l) = -margin
-        V_new = jnp.maximum(V_new, -margin)
-        delta = jnp.max(jnp.abs(V_new - V))
-        return V_new, delta
-
-    @jax.jit
-    def run(V0):
-        V, deltas = jax.lax.scan(sweep, V0, None, length=n_sweeps)
-        return V, deltas
-
-    V, deltas = run(l)
+    # mathematical floor: V = min-over-time of l >= min(l) = -margin
+    V, deltas, _ = solve_hji_vi(l, hs, flow, n_sweeps, cfl, floor=-margin)
 
     # gradient field for the cache (central differences of the solution)
+    hs_j = jnp.asarray(hs, dtype)
     gradV = jnp.stack(
         [sum(_axis_diffs(V, hs_j[ax], ax)) * 0.5 for ax in range(7)],
         axis=-1)
