@@ -40,6 +40,7 @@ def latency_mode(args):
     from pigeon_tpu import mpc as M
     from pigeon_tpu import trajectory as trj
     from pigeon_tpu.config import SolverOptions
+    from pigeon_tpu.compile import tpu_jit
 
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -83,7 +84,7 @@ def latency_mode(args):
         def plant_f(q, ur):
             return dyn.vehicle_ode(cfg.veh, "bicycle", q, ur[:2], ur[2:])
 
-        @jax.jit
+        @tpu_jit
         def one_step(cb, q0s, u0s, ts):
             c2, u3, diag = M.mpc_step_batched(cfg, tube, cache, cb, q0s,
                                               u0s, oc, ts)
@@ -94,7 +95,7 @@ def latency_mode(args):
                 return dz.propagate(plant_f, q, ur, 0.01)
             return c2, jax.vmap(plant)(q0s, u3), u3, diag
 
-        @jax.jit
+        @tpu_jit
         def chained(cb, q0s, u0s, ts):
             def body(state, i):
                 cb, q0s, u0s, ts = state
@@ -185,6 +186,7 @@ def main():
     from pigeon_tpu import mpc as M
     from pigeon_tpu import trajectory as trj
     from pigeon_tpu.config import SolverOptions
+    from pigeon_tpu.compile import tpu_jit
     import dataclasses
 
     platform = jax.devices()[0].platform
@@ -230,7 +232,7 @@ def main():
     def plant_f(q, ur):
         return dyn.vehicle_ode(cfg.veh, "bicycle", q, ur[:2], ur[2:])
 
-    @jax.jit
+    @tpu_jit
     def batched_step(carries, q0s, u0s, ts):
         """One fleet control period: every scenario runs a FULL warm-started
         MPC step and the plant advances with the command — each timed call

@@ -217,6 +217,11 @@ class SolverOptions:
     # polish segments (~6x cheaper per iteration; 0 disables).
     pallas_tile: int = 4
     bf16_bulk_iters: int = 0
+    # Matmul precision for the in-kernel iteration matvecs: "highest"
+    # (6-pass fp32) or "high" (3-pass bf16x3, ~2x faster; per-iteration
+    # noise ~1e-6 only perturbs the fixed point below tolerance — the
+    # FACTORIZATION stays at HIGHEST regardless, see solver/banded.py).
+    pallas_precision: str = "highest"
     # Tensor-parallel mesh axis name (shard_map) for the KKT factorization:
     # identity RHS columns of the banded solve are sharded across this
     # axis and re-assembled with all_gather.  None = no TP.

@@ -265,7 +265,38 @@ def linearize_horizon_fused(f, qs, urs, dts, S: int, n_keep: int,
     ramp = jnp.broadcast_to(jnp.eye(m, dtype=qs.dtype), (T, m, m))
     M = M.at[:, n:n + m, n + m:n + 2 * m].set(
         jnp.where(foh, ramp, jnp.zeros_like(ramp)))
-    E = expm_fixed(M * dts[:, None, None], squarings=squarings,
-                   order=order, precision=precision)
+    E = _expm_stage_packed(M * dts[:, None, None], squarings=squarings,
+                           order=order, precision=precision)
     urs_next = urs[1:]
     return extract_affine_horizon(E, dts, urs[:T], urs_next, n, m, n_keep)
+
+
+def _expm_stage_packed(M, squarings: int, order: int, precision: str):
+    """expm of a (T, d, d) stack via block-diagonal packing.
+
+    A d=19 stage matrix uses <2.3% of a 128x128 MXU pass; packing
+    k = 128//d stages into one (k*d, k*d) block-diagonal matrix makes each
+    matmul of the scaling-and-squaring chain k stages wide (~6x fewer MXU
+    dispatches for the coupled horizon's T=15 chain).  Exact: products and
+    the identity preserve block-diagonal structure, so the result blocks
+    equal the per-stage expm; dummy zero blocks exponentiate to I and are
+    discarded.
+    """
+    T, d = M.shape[0], M.shape[-1]
+    k = max(1, 128 // d)
+    if k == 1 or T <= 1:
+        return expm_fixed(M, squarings=squarings, order=order,
+                          precision=precision)
+    G = -(-T // k)                                   # ceil
+    pad = G * k - T
+    Mp = jnp.concatenate(
+        [M, jnp.zeros((pad, d, d), M.dtype)]) if pad else M
+    big = jnp.zeros((G, k * d, k * d), M.dtype)
+    Mg = Mp.reshape(G, k, d, d)
+    for j in range(k):
+        big = big.at[:, j * d:(j + 1) * d, j * d:(j + 1) * d].set(Mg[:, j])
+    Eb = expm_fixed(big, squarings=squarings, order=order,
+                    precision=precision)
+    Es = [Eb[:, j * d:(j + 1) * d, j * d:(j + 1) * d] for j in range(k)]
+    E = jnp.stack(Es, axis=1).reshape(G * k, d, d)
+    return E[:T]

@@ -52,6 +52,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
     from pigeon_tpu import mpc as M
     from pigeon_tpu import trajectory as trj
     from pigeon_tpu.qp import coupled as qp_coupled
+    from pigeon_tpu.compile import tpu_jit
     from pigeon_tpu.solver import admm
 
     assert cfg.formulation == "coupled", "profiler covers the coupled step"
@@ -59,7 +60,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
     out = {}
 
     # ---- phase: node seeding (warm branch — the steady-state path) ------
-    @jax.jit
+    @tpu_jit
     def nodes(carry_b, q0s, u0s, ts):
         def one(c, q, u, t):
             tgrid, dt = M.compute_time_steps(cfg.hz, t)
@@ -70,7 +71,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
     out["nodes_warm"] = _time_fn(nodes, (carry_b, q0s, u0s, ts), iters)
 
     # ---- phase: cold node seeding (trim rollout) ------------------------
-    @jax.jit
+    @tpu_jit
     def nodes_cold(q0s, u0s, ts):
         def one(q, u, t):
             tgrid, dt = M.compute_time_steps(cfg.hz, t)
@@ -83,7 +84,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
     hji_M = jnp.zeros((B, 2), q0s.dtype)
     hji_b = jnp.ones((B,), q0s.dtype)
 
-    @jax.jit
+    @tpu_jit
     def build(qs, us, ps, ts, hji_M, hji_b):
         def one(q_, u_, p_, t, m_, b_):
             tgrid, dt = M.compute_time_steps(cfg.hz, t)
@@ -97,7 +98,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
         build, (qs, us, ps, ts, hji_M, hji_b), iters)
 
     # ---- phase: Ruiz equilibration --------------------------------------
-    @jax.jit
+    @tpu_jit
     def scale(qp):
         return jax.vmap(lambda q: admm._ruiz(q, cfg.solver.scaling_iters))(qp)
 
@@ -114,7 +115,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
     rho_vec = jnp.where(is_eq, cfg.solver.rho * cfg.solver.rho_eq_scale,
                         cfg.solver.rho).astype(q0s.dtype)
 
-    @jax.jit
+    @tpu_jit
     def factor(qps, rho_vec):
         with jax.default_matmul_precision("highest"):
             return jax.vmap(lambda P, A, r: admm._factor_inv(
@@ -140,7 +141,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
                 k, cfg.solver.sigma, cfg.solver.alpha,
                 tile=getattr(cfg.solver, "pallas_tile", 1))
     else:
-        @jax.jit
+        @tpu_jit
         def iterate(Kinv, qps, rho_vec, x0, z0, y0):
             def one(Ki, Pb, qb, Ab, lb, ub, rv, x, z, y):
                 def body(_, carry):
@@ -163,7 +164,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
         iterate, (Kinv, qps, rho_vec, x0, z0, y0), iters)
 
     # ---- phase: residual check ------------------------------------------
-    @jax.jit
+    @tpu_jit
     def resid(qp, x0, z0, y0):
         def one(q_, x, z, y):
             Ax = q_.A @ x
@@ -178,7 +179,7 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
 
     # ---- full fused step (reference point) ------------------------------
     if include_full:
-        @jax.jit
+        @tpu_jit
         def full(carry_b, q0s, u0s, ocs, ts):
             return M.mpc_step_batched(cfg, tube, cache, carry_b, q0s, u0s,
                                       ocs, ts)

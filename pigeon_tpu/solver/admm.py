@@ -94,17 +94,22 @@ def _ruiz(qp: QPData, iters: int):
     E = jnp.ones(m, q.dtype)
     c = jnp.asarray(1.0, q.dtype)
     eps = 1e-12
+    # |A| computed once; per-sweep row/col maxima of the scaled matrix
+    # E|A|D are fused multiply-reductions (no (m, n) intermediate per
+    # sweep — the scaled matrix is materialized exactly once, at the end).
+    absA = jnp.abs(A)
+    absP = jnp.abs(P)
+    absq = jnp.abs(q)
     for _ in range(iters):
-        Ps = P * D * D * c                      # diagonal of scaled P
-        As = (E[:, None] * A) * D[None, :]      # scaled A
-        col_x = jnp.maximum(jnp.abs(Ps), jnp.max(jnp.abs(As), axis=0))
-        col_y = jnp.max(jnp.abs(As), axis=1)
+        Ps = absP * D * D * c                   # |diagonal| of scaled P
+        col_x = jnp.maximum(Ps, jnp.max(absA * E[:, None], axis=0) * D)
+        col_y = jnp.max(absA * D[None, :], axis=1) * E
         D = D / jnp.sqrt(jnp.maximum(col_x, eps))
         E = E / jnp.sqrt(jnp.maximum(col_y, eps))
         # cost scaling: normalize the scaled gradient magnitude
-        Ps = P * D * D * c
-        qs = c * D * q
-        g = jnp.maximum(jnp.mean(jnp.abs(Ps)), jnp.max(jnp.abs(qs)))
+        Ps = absP * D * D * c
+        qs = c * D * absq
+        g = jnp.maximum(jnp.mean(Ps), jnp.max(qs))
         c = c / jnp.maximum(g, 1.0)
     Pb = P * D * D * c
     qb = c * D * q
@@ -224,7 +229,7 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
     def admm_iters(Kinv, rho_vec, x, z, y, k):
         if opts.backend == "pallas":
             from pigeon_tpu.solver.pallas_admm import admm_iterations
-            x, z, y = admm_iterations(
+            x, z, y, _ = admm_iterations(
                 Kinv[None], Ab[None], qb[None], lb[None], ub[None],
                 rho_vec[None], x[None], z[None], y[None],
                 k, opts.sigma, opts.alpha, tile=1)
@@ -371,35 +376,37 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
 
     interpret = jax.devices()[0].platform != "tpu"
 
+    scalings = (D, E, c, qp.P_diag, qp.q)
+    amax = lambda v: jnp.max(jnp.abs(v), axis=-1)
+    amax_qu = amax(qp.q)                                   # (B,)
+
     def run_iters(Kinv, rho_vec, x, z, y, k, bf16):
-        xo, zo, yo = admm_iterations(
+        xo, zo, yo, stats = admm_iterations(
             Kinv, Ab, qb, lb, ub, rho_vec, x, z, y, k,
             float(opts.sigma), float(opts.alpha),
-            tile=opts.pallas_tile, bf16=bf16, interpret=interpret)
-        return xo.astype(dtype), zo.astype(dtype), yo.astype(dtype)
+            tile=opts.pallas_tile, bf16=bf16, interpret=interpret,
+            precision=getattr(opts, "pallas_precision", "highest"),
+            scalings=scalings)
+        return (xo.astype(dtype), zo.astype(dtype), yo.astype(dtype),
+                stats.astype(dtype))
 
-    amax = lambda v: jnp.max(jnp.abs(v), axis=-1)
-
-    def residuals(x, z, y):
-        x_u = D * x
-        z_u = z / E
-        y_u = (E * y) / c[:, None]
-        Ax = jnp.einsum("bmn,bn->bm", qp.A, x_u)
-        Px = qp.P_diag * x_u
-        Aty = jnp.einsum("bmn,bm->bn", qp.A, y_u)
-        r_prim = amax(Ax - z_u)
-        r_dual = amax(Px + qp.q + Aty)
-        eps_prim = opts.eps_abs + opts.eps_rel * jnp.maximum(amax(Ax),
-                                                             amax(z_u))
+    def residuals(stats):
+        """UNSCALED residual statistics computed inside the kernel on the
+        VMEM-resident iterates (stats columns: r_prim, r_dual, max|Ax|,
+        max|z|, max|Px|, max|A'y|) — the residual check re-reads no
+        (B, m, n) matrix from HBM."""
+        r_prim, r_dual = stats[:, 0], stats[:, 1]
+        m_Ax, m_z, m_Px, m_Aty = (stats[:, 2], stats[:, 3], stats[:, 4],
+                                  stats[:, 5])
+        eps_prim = opts.eps_abs + opts.eps_rel * jnp.maximum(m_Ax, m_z)
         eps_dual = opts.eps_abs + opts.eps_rel * jnp.maximum(
-            jnp.maximum(amax(Px), amax(Aty)), amax(qp.q))
-        return r_prim, r_dual, eps_prim, eps_dual, Ax, z_u, Px, Aty
+            jnp.maximum(m_Px, m_Aty), amax_qu)
+        return r_prim, r_dual, eps_prim, eps_dual, m_Ax, m_z, m_Px, m_Aty
 
-    def rho_suggestion(rho_scale, r_prim, r_dual, Ax, z_u, Px, Aty):
-        num = r_prim / jnp.maximum(jnp.maximum(amax(Ax), amax(z_u)), 1e-12)
+    def rho_suggestion(rho_scale, r_prim, r_dual, m_Ax, m_z, m_Px, m_Aty):
+        num = r_prim / jnp.maximum(jnp.maximum(m_Ax, m_z), 1e-12)
         den = r_dual / jnp.maximum(
-            jnp.maximum(amax(Px), amax(Aty)),
-            jnp.maximum(amax(qp.q), 1e-12))
+            jnp.maximum(m_Px, m_Aty), jnp.maximum(amax_qu, 1e-12))
         scale = jnp.clip(jnp.sqrt(num / jnp.maximum(den, 1e-12)),
                          1e-3, 1e3)
         return jnp.clip(rho_scale * scale, 1e-6, 1e6), scale
@@ -411,10 +418,16 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
     # point; the fp32 segments below close the gap to true tolerance.
     bulk = int(opts.bf16_bulk_iters)
     if bulk > 0:
-        x, z, y = run_iters(Kinv, rho_vec, x, z, y, bulk, True)
-
-    r_prim, r_dual, eps_p, eps_d, Ax, z_u, Px, Aty = residuals(x, z, y)
-    converged = (r_prim <= eps_p) & (r_dual <= eps_d)
+        x, z, y, stats = run_iters(Kinv, rho_vec, x, z, y, bulk, True)
+        r_prim, r_dual, eps_p, eps_d, *_ = residuals(stats)
+        converged = (r_prim <= eps_p) & (r_dual <= eps_d)
+    else:
+        # skip the pre-loop residual check (it would need fresh A x / A^T y
+        # matvecs); at least one segment always runs, matching OSQP's
+        # check-after-iterate semantics
+        inf = jnp.full((B,), jnp.inf, dtype)
+        r_prim, r_dual = inf, inf
+        converged = jnp.zeros((B,), bool)
 
     n_seg = max(1, opts.max_iter // opts.check_every)
     ADAPT_TOL = 5.0
@@ -425,13 +438,14 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
 
     def seg_body(carry):
         (x, z, y, Kinv, rho_vec, rho_scale, seg_i, _, _, _) = carry
-        x, z, y = run_iters(Kinv, rho_vec, x, z, y, opts.check_every,
-                            False)
-        r_prim, r_dual, eps_p, eps_d, Ax, z_u, Px, Aty = residuals(x, z, y)
+        x, z, y, stats = run_iters(Kinv, rho_vec, x, z, y,
+                                   opts.check_every, False)
+        (r_prim, r_dual, eps_p, eps_d, m_Ax, m_z, m_Px,
+         m_Aty) = residuals(stats)
         converged = (r_prim <= eps_p) & (r_dual <= eps_d)
         if opts.adaptive_rho:
             pending, scale = rho_suggestion(rho_scale, r_prim, r_dual,
-                                            Ax, z_u, Px, Aty)
+                                            m_Ax, m_z, m_Px, m_Aty)
             drift = ((scale > ADAPT_TOL) | (scale < 1.0 / ADAPT_TOL)) \
                 & jnp.logical_not(converged)
             rho_scale = jnp.where(drift, pending, rho_scale)

@@ -33,10 +33,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(n_iters: int, sigma: float, alpha: float, bf16: bool,
-            Kinv_ref, A_ref, AT_ref, q_ref, l_ref, u_ref, rho_ref,
-            x0_ref, z0_ref, y0_ref,
-            x_out, z_out, y_out):
+def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
+            *refs):
     """One grid step processes TILE instances resident in VMEM.
 
     All matvecs are expressed as v^T M with the matrix on the RHS
@@ -45,36 +43,66 @@ def _kernel(n_iters: int, sigma: float, alpha: float, bf16: bool,
     symmetric, so rhs^T K^-1 == (K^-1 rhs)^T; the A^T product uses an
     explicitly materialized transpose.
 
-    bf16=True: the matrices arrive as bfloat16 and the iterate vectors are
-    rounded to bf16 at each dot input — ONE MXU pass per 128x128 tile
-    instead of the six passes fp32 HIGHEST costs, measured ~6x faster.
-    The iteration then converges to the fixed point of the bf16-perturbed
-    operator (~4e-3 relative); callers run fp32 polish segments afterwards
-    to reach the true tolerance (see solver/admm.py's precision ladder).
+    mode selects the matvec arithmetic (the iteration is MXU-PASS bound —
+    each 128x128 operand tile costs one pass per precision "pass", so the
+    pass count IS the iteration latency):
+      "highest": fp32 operands, 6-pass fp32-emulation dots (reference
+        grade; Mosaic rejects Precision.HIGH so 3-pass must be manual).
+      "high": each matrix arrives as a bfloat16 (hi, lo) pair with
+        hi = bf16(M), lo = bf16(M - hi) — same total bytes as fp32 — and
+        v M ~= v_hi M_hi + v_hi M_lo + v_lo M_hi: three 1-pass bf16 dots,
+        2x fewer passes than "highest" at ~1e-6 relative error, which
+        only perturbs the ADMM fixed point below the 1e-3 tolerance
+        (unlike the FACTOR, whose error the stiff rho_eq rows amplify;
+        see solver/banded.py — the factorization stays at HIGHEST).
+      "bf16": matrices are single bf16, one pass — fast bulk phase of the
+        precision ladder; converges to a ~4e-3-perturbed fixed point, so
+        callers follow with fp32 polish segments.
     """
-    A = A_ref[:]          # (TILE, m, n)
-    AT = AT_ref[:]        # (TILE, n, m)
-    Kinv = Kinv_ref[:]    # (TILE, n, n), symmetric
-    qv = q_ref[:]         # (TILE, 1, n) — vectors carried as [B, 1, K]
+    if mode == "high":
+        (Khi_ref, Klo_ref, Ahi_ref, Alo_ref, AThi_ref, ATlo_ref,
+         q_ref, l_ref, u_ref, rho_ref, x0_ref, z0_ref, y0_ref,
+         E_ref, PuD_ref, qu_ref, invDc_ref,
+         x_out, z_out, y_out, stats_out) = refs
+        A = (Ahi_ref[:], Alo_ref[:])
+        AT = (AThi_ref[:], ATlo_ref[:])
+        Kinv = (Khi_ref[:], Klo_ref[:])
+    else:
+        (Kinv_ref, A_ref, AT_ref, q_ref, l_ref, u_ref, rho_ref,
+         x0_ref, z0_ref, y0_ref, E_ref, PuD_ref, qu_ref, invDc_ref,
+         x_out, z_out, y_out, stats_out) = refs
+        A = A_ref[:]          # (TILE, m, n)
+        AT = AT_ref[:]        # (TILE, n, m)
+        Kinv = Kinv_ref[:]    # (TILE, n, n), symmetric
+    qv = q_ref[:]             # (TILE, 1, n) — vectors carried as [B, 1, K]
     lv = l_ref[:]
     uv = u_ref[:]
-    rho = rho_ref[:]      # (TILE, 1, m)
+    rho = rho_ref[:]          # (TILE, 1, m)
     inv_rho = 1.0 / rho
+
+    dims = (((2,), (1,)), ((0,), (0,)))
+    bf16 = jnp.bfloat16
+
+    def _dot(v, M):
+        # precision pinned to DEFAULT on bf16 operands: an ambient
+        # default_matmul_precision("highest") context (the solver sets
+        # one) would otherwise request an fp32 contract, which Mosaic
+        # rejects ("Bad lhs type").
+        return jax.lax.dot_general(
+            v, M, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
 
     def vmat(v, M):
         # (TILE, 1, k) x (TILE, k, j) -> (TILE, 1, j)
-        if bf16:
-            # precision pinned to DEFAULT: an ambient
-            # default_matmul_precision("highest") context (the solver sets
-            # one) would otherwise request an fp32 contract on bf16
-            # operands, which Mosaic rejects ("Bad lhs type").
-            return jax.lax.dot_general(
-                v.astype(jnp.bfloat16), M, (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=jnp.float32)
+        if mode == "bf16":
+            return _dot(v.astype(bf16), M)
+        if mode == "high":
+            Mhi, Mlo = M
+            v_hi = v.astype(bf16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(bf16)
+            return _dot(v_hi, Mhi) + _dot(v_hi, Mlo) + _dot(v_lo, Mhi)
         return jax.lax.dot_general(
-            v, M, (((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
+            v, M, dims, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
     def body(_, carry):
@@ -94,18 +122,49 @@ def _kernel(n_iters: int, sigma: float, alpha: float, bf16: bool,
     x_out[:] = x
     z_out[:] = z
     y_out[:] = y
+    # Residual statistics computed IN KERNEL: two extra matvecs per
+    # SEGMENT (vs per residual check from HBM if the caller recomputed
+    # them) plus VPU max-reductions on VMEM-resident data.  Scalars out —
+    # whole-batch vector outputs would overflow XLA's 16 MB scoped-VMEM
+    # result allocation at B=2048.  Unscaling: with A = E^-1 A_bar D^-1,
+    # x = D x_bar, y = E y_bar / c the unscaled products are elementwise
+    # rescalings of the in-VMEM scaled ones (E_ref the row scaling,
+    # PuD = P_unscaled * D, qu the unscaled q, invDc = 1/(D c)).
+    ax = vmat(x, AT)                                    # A_bar x_bar
+    aty = vmat(y, A)                                    # A_bar^T y_bar
+    invE = 1.0 / E_ref[:]
+    Ax_u = ax * invE
+    z_u = z * invE
+    dual_vec = PuD_ref[:] * x + qu_ref[:] + aty * invDc_ref[:]
+    Px_u = PuD_ref[:] * x
+    Aty_u = aty * invDc_ref[:]
+    stat = lambda v: jnp.max(jnp.abs(v), axis=-1)       # (TILE, 1)
+    z8 = jnp.zeros_like(stat(Ax_u))
+    stats = jnp.stack([stat(Ax_u - z_u), stat(dual_vec), stat(Ax_u),
+                       stat(z_u), stat(Px_u), stat(Aty_u), z8, z8],
+                      axis=-1)                          # (TILE, 1, 8)
+    stats_out[:] = stats
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "sigma", "alpha",
-                                             "tile", "interpret", "bf16"))
+                                             "tile", "interpret", "bf16",
+                                             "precision"))
 def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
                     n_iters: int, sigma: float, alpha: float,
                     tile: int = 1, interpret: bool = False,
-                    bf16: bool = False):
+                    bf16: bool = False, precision: str = "highest",
+                    scalings=None):
     """Run `n_iters` ADMM iterations for a batch of QPs entirely in VMEM.
 
     Inputs are the *scaled* problem quantities (post-Ruiz), batched on the
-    leading axis.  Returns updated (x, z, y).
+    leading axis.  Returns (x, z, y, stats) with stats (B, 8) the kernel-
+    computed UNSCALED residual statistics
+    [r_prim, r_dual, max|Ax|, max|z|, max|Px|, max|A'y|, 0, 0]
+    (two extra in-VMEM matvecs per segment instead of whole-matrix HBM
+    re-reads per residual check).
+
+    scalings: optional (D, E, c, P_unscaled, q_unscaled) Ruiz quantities
+    for the stats unscaling; identity scalings when omitted.
 
     interpret=True runs the kernel in Pallas interpret mode (CPU test
     path asserting bit-level agreement with the XLA backend).
@@ -117,19 +176,47 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     m_pad = _round_up(m, 128)
     B_pad = _round_up(B, tile)
     f32 = jnp.float32
+    mode = "bf16" if bf16 else str(precision)
+    if mode not in ("bf16", "high", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
     mat_dtype = jnp.bfloat16 if bf16 else f32
+
+    if scalings is None:
+        # identity scalings; P is not an iteration input, so r_dual stats
+        # omit the Px term — pass `scalings` whenever stats are consumed
+        D = jnp.ones((B, n), f32)
+        E = jnp.ones((B, m), f32)
+        c = jnp.ones((B,), f32)
+        Pu, qu = jnp.zeros_like(q), q
+    else:
+        D, E, c, Pu, qu = scalings
+    PuD = Pu * D
+    invDc = 1.0 / (D * c[:, None])
 
     def pad(arr, shape, fill=0.0, dtype=f32):
         out = jnp.full(shape, fill, dtype)
         sl = tuple(slice(0, s) for s in arr.shape)
         return out.at[sl].set(arr.astype(dtype))
 
-    Kp = pad(Kinv, (B_pad, n_pad, n_pad), dtype=mat_dtype)
+    Kp = pad(Kinv, (B_pad, n_pad, n_pad), dtype=f32)
     # identity on the padded diagonal keeps padded x coords stable
     diag_idx = jnp.arange(n, n_pad)
     Kp = Kp.at[:, diag_idx, diag_idx].set(1.0)
-    Ap = pad(A, (B_pad, m_pad, n_pad), dtype=mat_dtype)
-    ATp = jnp.swapaxes(Ap, -1, -2).copy()
+    Ap = pad(A, (B_pad, m_pad, n_pad), dtype=f32)
+    ATp = jnp.swapaxes(Ap, -1, -2)
+    if mode == "high":
+        # bf16 (hi, lo) splits — same total bytes as one fp32 copy
+        def split(M):
+            hi = M.astype(jnp.bfloat16)
+            lo = (M - hi.astype(f32)).astype(jnp.bfloat16)
+            return hi, lo
+        Khi, Klo = split(Kp)
+        Ahi, Alo = split(Ap)
+        AThi, ATlo = split(ATp)
+        mats = [Khi, Klo, Ahi, Alo, AThi, ATlo]
+    else:
+        mats = [Kp.astype(mat_dtype), Ap.astype(mat_dtype),
+                ATp.astype(mat_dtype).copy()]
     vec = lambda a: a[:, None, :]
     qp_ = vec(pad(q, (B_pad, n_pad)))
     lp = vec(pad(l, (B_pad, m_pad)))
@@ -138,6 +225,10 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     xp = vec(pad(x0, (B_pad, n_pad)))
     zp = vec(pad(z0, (B_pad, m_pad)))
     yp = vec(pad(y0, (B_pad, m_pad)))
+    Ep = vec(pad(E, (B_pad, m_pad), fill=1.0))     # 1.0: no inf in 1/E pad
+    PuDp = vec(pad(PuD, (B_pad, n_pad)))
+    qup = vec(pad(qu, (B_pad, n_pad)))
+    invDcp = vec(pad(invDc, (B_pad, n_pad)))
 
     grid = (B_pad // tile,)
 
@@ -146,24 +237,40 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
         return pl.BlockSpec((tile,) + dims,
                             lambda i: (i,) + (0,) * len(dims), **kw)
 
+    if mode == "high":
+        mat_specs = [bspec(n_pad, n_pad), bspec(n_pad, n_pad),
+                     bspec(m_pad, n_pad), bspec(m_pad, n_pad),
+                     bspec(n_pad, m_pad), bspec(n_pad, m_pad)]
+    else:
+        mat_specs = [bspec(n_pad, n_pad), bspec(m_pad, n_pad),
+                     bspec(n_pad, m_pad)]
+    n_mats = len(mats)
     out = pl.pallas_call(
         functools.partial(_kernel, n_iters, float(sigma), float(alpha),
-                          bool(bf16)),
+                          mode),
         grid=grid,
-        in_specs=[
-            bspec(n_pad, n_pad), bspec(m_pad, n_pad), bspec(n_pad, m_pad),
+        in_specs=mat_specs + [
             bspec(1, n_pad),
             bspec(1, m_pad), bspec(1, m_pad), bspec(1, m_pad),
             bspec(1, n_pad), bspec(1, m_pad), bspec(1, m_pad),
+            bspec(1, m_pad), bspec(1, n_pad), bspec(1, n_pad),
+            bspec(1, n_pad),
         ],
-        out_specs=(bspec(1, n_pad), bspec(1, m_pad), bspec(1, m_pad)),
+        out_specs=(bspec(1, n_pad), bspec(1, m_pad), bspec(1, m_pad),
+                   bspec(1, 8)),
         out_shape=(
             jax.ShapeDtypeStruct((B_pad, 1, n_pad), f32),
             jax.ShapeDtypeStruct((B_pad, 1, m_pad), f32),
             jax.ShapeDtypeStruct((B_pad, 1, m_pad), f32),
+            jax.ShapeDtypeStruct((B_pad, 1, 8), f32),
         ),
+        # x0/z0/y0 are dead after the call: aliasing them to the x/z/y
+        # outputs keeps the result buffers out of XLA's scoped-VMEM
+        # result allocation (5 live whole-batch vector outputs overflow
+        # the 16 MB scoped limit at B=2048) and saves three HBM buffers.
+        input_output_aliases={n_mats + 4: 0, n_mats + 5: 1, n_mats + 6: 2},
         interpret=interpret,
-    )(Kp, Ap, ATp, qp_, lp, up, rp, xp, zp, yp)
-    x, z, y = out
+    )(*mats, qp_, lp, up, rp, xp, zp, yp, Ep, PuDp, qup, invDcp)
+    x, z, y, stats = out
     return (x[:B, 0, :n].astype(A.dtype), z[:B, 0, :m].astype(A.dtype),
-            y[:B, 0, :m].astype(A.dtype))
+            y[:B, 0, :m].astype(A.dtype), stats[:B, 0, :])

@@ -39,6 +39,7 @@ def main():
     from pigeon_tpu import mpc as M
     from pigeon_tpu import trajectory as trj
     from pigeon_tpu.config import SolverOptions
+    from pigeon_tpu.compile import tpu_jit
     from pigeon_tpu.parallel.shard import (make_mesh_2d, make_sharded_step,
                                            shard_batch_dp)
 
@@ -73,7 +74,7 @@ def main():
         step = make_sharded_step(cfg, tube, cache, mesh)
         cb, q0, u0, oc, ts = shard_batch_dp((cb, q0, u0, oc, ts), mesh)
         with mesh:
-            f = jax.jit(step)
+            f = tpu_jit(step)
             cb, u3, diag, metrics = f(cb, q0, u0, oc, ts)
             jax.block_until_ready(u3)
             lat = []

@@ -63,3 +63,44 @@ def test_batched_step_mixed_solved_uses_auto():
         cfg, tube, cache, c, q, u, o, t))
     cb2r, u2r, _ = vstep(cb_mixed, q0, u0, oc, ts + 0.01)
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u2r), atol=1e-12)
+
+
+def test_batched_step_pallas_stats_truthful():
+    """The natively-batched pallas solver path (interpret mode on CPU)
+    computes its residuals IN KERNEL from the VMEM-resident iterates
+    (solver/pallas_admm.py stats output); a bug in the stats unscaling
+    would silently corrupt the convergence control.  Guard: the reported
+    prim/dual residuals must equal residuals recomputed independently
+    from the returned solution, and `converged` must imply they satisfy
+    the OSQP tolerance."""
+    import dataclasses
+
+    from pigeon_tpu.solver.admm import cold_start, solve_qp_batched
+
+    cfg, tube, cache, carry_b, q0, u0, oc, ts = _setup()
+    qp, warm, aux = jax.vmap(
+        lambda c, q, u, o, t: M._pre_solve(cfg, tube, cache, c, q, u, o,
+                                           t, "auto"))(carry_b, q0, u0,
+                                                       oc, ts)
+    opts = dataclasses.replace(cfg.solver, backend="pallas",
+                               pallas_tile=2)
+    sol = solve_qp_batched(qp, jax.vmap(cold_start)(qp), opts,
+                           M._banded_plan_for(cfg))
+    x, z, y = np.asarray(sol.x), np.asarray(sol.z), np.asarray(sol.y)
+    A, P, qv = np.asarray(qp.A), np.asarray(qp.P_diag), np.asarray(qp.q)
+    for b in range(x.shape[0]):
+        Ax = A[b] @ x[b]
+        Aty = A[b].T @ y[b]
+        Px = P[b] * x[b]
+        rp = np.max(np.abs(Ax - z[b]))
+        rd = np.max(np.abs(Px + qv[b] + Aty))
+        np.testing.assert_allclose(float(sol.prim_res[b]), rp,
+                                   rtol=1e-2, atol=1e-7)
+        np.testing.assert_allclose(float(sol.dual_res[b]), rd,
+                                   rtol=1e-2, atol=1e-7)
+        if bool(np.asarray(sol.converged)[b]):
+            eps_p = opts.eps_abs + opts.eps_rel * max(
+                np.abs(Ax).max(), np.abs(z[b]).max())
+            eps_d = opts.eps_abs + opts.eps_rel * max(
+                np.abs(Px).max(), np.abs(Aty).max(), np.abs(qv[b]).max())
+            assert rp <= eps_p * 1.01 and rd <= eps_d * 1.01

@@ -58,9 +58,10 @@ def test_pallas_matches_xla_backend(n, m, iters):
     B = 3
     alpha, sigma = 1.6, 1e-6
     Kinvs, As, qs, ls, us, rhos = [], [], [], [], [], []
-    x0s, z0s, y0s = [], [], []
+    x0s, z0s, y0s, Ps_list = [], [], [], []
     for b in range(B):
         P, q, A, l, u, rho, Kinv, _ = _random_qp(rng, n, m)
+        Ps_list.append(P)
         Kinvs.append(Kinv); As.append(A); qs.append(q)
         ls.append(l); us.append(u); rhos.append(rho)
         x0s.append(jnp.asarray(rng.standard_normal(n), jnp.float32))
@@ -68,10 +69,13 @@ def test_pallas_matches_xla_backend(n, m, iters):
         y0s.append(jnp.asarray(rng.standard_normal(m), jnp.float32))
     stack = lambda xs: jnp.stack(xs)
 
-    xk, zk, yk = admm_iterations(
+    Ps = stack([d for d in Ps_list])
+    scalings = (jnp.ones((B, n), jnp.float32), jnp.ones((B, m), jnp.float32),
+                jnp.ones((B,), jnp.float32), Ps, stack(qs))
+    xk, zk, yk, stats = admm_iterations(
         stack(Kinvs), stack(As), stack(qs), stack(ls), stack(us),
         stack(rhos), stack(x0s), stack(z0s), stack(y0s),
-        iters, sigma, alpha, tile=1, interpret=True)
+        iters, sigma, alpha, tile=1, interpret=True, scalings=scalings)
 
     for b in range(B):
         xr, zr, yr = _xla_iters(Kinvs[b], As[b], qs[b], ls[b], us[b],
@@ -84,6 +88,16 @@ def test_pallas_matches_xla_backend(n, m, iters):
                                    rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(yk[b]), np.asarray(yr),
                                    rtol=2e-4, atol=2e-4)
+        # the kernel-emitted residual statistics match direct computation
+        Ax = np.asarray(As[b] @ xr)
+        Aty = np.asarray(As[b].T @ yr)
+        Px = np.asarray(Ps_list[b]) * np.asarray(xr)
+        ref_stats = [np.max(np.abs(Ax - np.asarray(zr))),
+                     np.max(np.abs(Px + np.asarray(qs[b]) + Aty)),
+                     np.max(np.abs(Ax)), np.max(np.abs(np.asarray(zr))),
+                     np.max(np.abs(Px)), np.max(np.abs(Aty))]
+        np.testing.assert_allclose(np.asarray(stats[b, :6]), ref_stats,
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_pallas_padded_fixed_point():
@@ -99,7 +113,7 @@ def test_pallas_padded_fixed_point():
     z_star = A @ x_star
     l2 = jnp.minimum(l, z_star - 1.0)
     u2 = jnp.maximum(u, z_star + 1.0)
-    xk, zk, yk = admm_iterations(
+    xk, zk, yk, _ = admm_iterations(
         Kinv[None], A[None], q[None], l2[None], u2[None], rho[None],
         x_star[None], z_star[None], jnp.zeros((1, m), jnp.float32),
         40, float(sigma), 1.6, tile=1, interpret=True)
