@@ -63,7 +63,8 @@ def latency_mode(args):
         cfg = dataclasses.replace(cfg, solver=SolverOptions(
             max_iter=args.solver_iters, check_every=args.solver_iters,
             eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
-            factor_method="banded", pallas_tile=min(4, B)))
+            factor_method="banded", pallas_tile=min(4, B),
+            pallas_precision="mixedk6"))
         rng = np.random.default_rng(0)
         k0 = rng.integers(0, 900, B)
         q0 = jnp.asarray(np.stack(
@@ -204,7 +205,8 @@ def main():
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
         max_iter=2 * args.solver_iters, check_every=args.solver_iters,
         eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
-        factor_method="banded", bf16_bulk_iters=0, pallas_tile=4))
+        factor_method="banded", bf16_bulk_iters=0, pallas_tile=4,
+        pallas_precision="mixedk6"))
 
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)

@@ -43,11 +43,35 @@ def tpu_jit(fn=None, /, **jit_kwargs):
 
     Usable as ``tpu_jit(f)`` or ``@tpu_jit(static_argnames=...)``.  Only
     OUTERMOST jits control compilation (inner jits are inlined), so wrap
-    the entry-point step functions — bench loops, runtime steps — not
-    library internals.
+    the entry-point step functions — bench loops, runtime steps — and the
+    directly-callable kernel wrappers (``admm_iterations``).
+
+    Backend detection is deferred to the first call: decorating at module
+    import must not initialize the JAX backend (jax.devices() can block on
+    the remote-TPU tunnel, and tests select their platform after import).
     """
     if fn is None:
         return lambda f: tpu_jit(f, **jit_kwargs)
-    if _on_tpu():
-        jit_kwargs.setdefault("compiler_options", _TPU_COMPILER_OPTIONS)
-    return jax.jit(fn, **jit_kwargs)
+
+    jitted = {}
+
+    def _top_level() -> bool:
+        # compiler_options are only legal on TOP-LEVEL jits; nested jits
+        # are inlined into their parent (which carries the options).
+        try:
+            from jax._src.core import trace_state_clean
+            return trace_state_clean()
+        except Exception:
+            return True
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        key = "top" if (_top_level() and _on_tpu()) else "plain"
+        if key not in jitted:
+            kw = dict(jit_kwargs)
+            if key == "top":
+                kw.setdefault("compiler_options", _TPU_COMPILER_OPTIONS)
+            jitted[key] = jax.jit(fn, **kw)
+        return jitted[key](*args, **kwargs)
+
+    return wrapper

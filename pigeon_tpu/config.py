@@ -217,10 +217,16 @@ class SolverOptions:
     # polish segments (~6x cheaper per iteration; 0 disables).
     pallas_tile: int = 4
     bf16_bulk_iters: int = 0
-    # Matmul precision for the in-kernel iteration matvecs: "highest"
-    # (6-pass fp32) or "high" (3-pass bf16x3, ~2x faster; per-iteration
-    # noise ~1e-6 only perturbs the fixed point below tolerance — the
-    # FACTORIZATION stays at HIGHEST regardless, see solver/banded.py).
+    # Matmul precision for the in-kernel iteration matvecs (the iteration
+    # is MXU-pass bound, so this is ~the segment latency):
+    #   "highest": 6-pass fp32 everywhere (reference grade).
+    #   "high":    3-pass bf16x3 everywhere — DIVERGES on this QP family
+    #              (rho_eq rows amplify the noise; kept for experiments).
+    #   "mixed":   equality-row A/A^T tiles at 6-pass fp32, inequality
+    #              tiles and K^-1 at 3-pass bf16x3 (needs eq_rows plumbed
+    #              from the layout; ~1.6x fewer MXU passes).
+    #   "mixedk6": like "mixed" but K^-1 also at 6-pass fp32.
+    # The FACTORIZATION stays at HIGHEST regardless (solver/banded.py).
     pallas_precision: str = "highest"
     # Tensor-parallel mesh axis name (shard_map) for the KKT factorization:
     # identity RHS columns of the banded solve are sharded across this

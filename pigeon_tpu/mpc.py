@@ -355,6 +355,15 @@ def _banded_plan_for(cfg: MPCConfig):
     return None
 
 
+def _eq_rows_for(cfg: MPCConfig):
+    """Statically-known equality rows of the QP (the solver's
+    mixed-precision Pallas modes keep their matvec tiles at fp32)."""
+    if cfg.formulation == "coupled":
+        from pigeon_tpu.qp.coupled import get_layout
+        return get_layout(cfg.hz, cfg.coupled.use_walls).eq_rows
+    return None
+
+
 def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
                other_car, t, nodes_mode: str = "auto"):
     """Projection, node seeding, HJI constraint, linearization and QP
@@ -495,7 +504,8 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
     qp, warm_start, aux = _pre_solve(cfg, tube, cache, carry, q0, u0,
                                      other_car, t, nodes_mode)
     sol = solve_qp(qp, warm=warm_start, opts=cfg.solver,
-                   banded_plan=_banded_plan_for(cfg))
+                   banded_plan=_banded_plan_for(cfg),
+                   eq_rows=_eq_rows_for(cfg))
     return _post_solve(cfg, carry, q0, sol, aux)
 
 
@@ -574,6 +584,7 @@ def mpc_step_batched(cfg: MPCConfig, tube: trj.TrajectoryTube,
         qp, warm, aux = pre("auto")(args)
 
     sol = solve_qp_batched(qp, warm, cfg.solver,
-                           banded_plan=_banded_plan_for(cfg))
+                           banded_plan=_banded_plan_for(cfg),
+                   eq_rows=_eq_rows_for(cfg))
     return jax.vmap(lambda c, q, s, a: _post_solve(cfg, c, q, s, a))(
         carries, q0s, sol, aux)

@@ -252,9 +252,11 @@ def _main():
     carry = M.init_carry(cfg, dtype=dtype)
     carry_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
                            carry)
+    from pigeon_tpu.compile import tpu_jit as _tj
+
     # warm the carry with one real step so the warm path profiles honestly
-    carry_b, _, _ = M.mpc_step_batched(cfg, tube, cache, carry_b, q0, u0,
-                                       oc, ts)
+    carry_b, _, _ = _tj(lambda cb, q, u, o, t: M.mpc_step_batched(
+        cfg, tube, cache, cb, q, u, o, t))(carry_b, q0, u0, oc, ts)
     carry_b = jax.block_until_ready(carry_b)
 
     row = profile_step(cfg, tube, cache, carry_b, q0, u0, oc, ts)

@@ -47,6 +47,12 @@ class CoupledLayout:
         self.hz = hz
         self.use_walls = use_walls
         lay = QPLayout()
+        eq_rows = []               # statically-known equality rows (l == u):
+        #                            the solver's mixed-precision Pallas mode
+        #                            keeps these rows' matvec tiles at fp32
+        #                            (their rho_eq scaling amplifies bf16x3
+        #                            noise into divergence; see
+        #                            solver/pallas_admm.py)
         self.q = lay.add_vars((N, 6))
         self.u = lay.add_vars((N, 2))
         self.sig = lay.add_vars((T, 2))
@@ -62,9 +68,11 @@ class CoupledLayout:
         r = lay.add_rows(S)                         # sHJI >= 0
         lay.entry(r, self.sHJI)
         r = lay.add_rows(T)                         # diff(delta) == dd
+        eq_rows.append(r)
         lay.entry(r, self.u[1:, 0]); lay.entry(r, self.u[:-1, 0])
         lay.entry(r, self.dd)
         r = lay.add_rows(T)                         # diff(Fx) == dF
+        eq_rows.append(r)
         lay.entry(r, self.u[1:, 1]); lay.entry(r, self.u[:-1, 1])
         lay.entry(r, self.dF)
         r = lay.add_rows(N)                         # V_min <= Ux <= V_max
@@ -72,10 +80,13 @@ class CoupledLayout:
         r = lay.add_rows(N)                         # Fx bounds (merged rows)
         lay.entry(r, self.u[:, 1])
         r = lay.add_rows(6)                         # q[0] == q_curr
+        eq_rows.append(r)
         lay.entry(r, self.q[0])
         r = lay.add_rows(2)                         # u[0] == u_curr
+        eq_rows.append(r)
         lay.entry(r, self.u[0])
         r = lay.add_rows(6 * S).reshape(S, 6)       # ZOH dynamics
+        eq_rows.append(r.ravel())
         lay.entry(r[:, :, None], self.q[:S][:, None, :])        # A_t
         lay.entry(r[:, :, None], self.u[:S][:, None, :])        # B_t
         lay.entry(r, self.q[1:S + 1])                           # -I q_{t+1}
@@ -83,6 +94,7 @@ class CoupledLayout:
         lay.entry(r[:, None], self.u[:S])                       # M row
         lay.entry(r, self.sHJI)                                 # + slack
         r = lay.add_rows(6 * Lg).reshape(Lg, 6)     # FOH dynamics
+        eq_rows.append(r.ravel())
         lay.entry(r[:, :, None], self.q[S:S + Lg][:, None, :])  # A_t
         lay.entry(r[:, :, None], self.u[S:S + Lg][:, None, :])  # B0_t
         lay.entry(r[:, :, None], self.u[S + 1:][:, None, :])    # Bf_t
@@ -107,6 +119,7 @@ class CoupledLayout:
         lay.finalize()
         self.lay = lay
         self.n, self.m = lay.n, lay.m
+        self.eq_rows = np.concatenate(eq_rows)
 
 
 @functools.lru_cache(maxsize=None)

@@ -167,7 +167,7 @@ _RHO_MIN, _RHO_MAX = 1e-6, 1e6
 
 def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
              opts: SolverOptions = SolverOptions(),
-             banded_plan=None) -> QPSolution:
+             banded_plan=None, eq_rows=None) -> QPSolution:
     """Solve one QP; vmap over a leading batch axis for scenario batching.
 
     Runs under matmul precision HIGHEST: TPU's default bf16 matmul passes
@@ -177,6 +177,10 @@ def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
     banded_plan: optional static stage plan (see solver/banded.py)
     enabling the block-tridiagonal factorization when
     opts.factor_method == "banded".
+
+    eq_rows: accepted for API symmetry with `solve_qp_batched`; the
+    single-instance path always runs full-precision iterations, so the
+    mixed-precision row split does not apply here.
     """
     with jax.default_matmul_precision("highest"):
         return _solve_qp(qp, warm, opts, banded_plan)
@@ -325,7 +329,7 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
 
 def solve_qp_batched(qp: QPData, warm: QPWarmStart,
                      opts: SolverOptions = SolverOptions(),
-                     banded_plan=None) -> QPSolution:
+                     banded_plan=None, eq_rows=None) -> QPSolution:
     """Solve a BATCH of QPs (leading batch axis on every leaf).
 
     XLA backend: the vmapped single-instance solver (portable, CPU tests).
@@ -343,21 +347,32 @@ def solve_qp_batched(qp: QPData, warm: QPWarmStart,
         return jax.vmap(lambda q, w: solve_qp(q, w, opts, banded_plan))(
             qp, warm)
     with jax.default_matmul_precision("highest"):
-        return _solve_qp_pallas_batched(qp, warm, opts, banded_plan)
+        return _solve_qp_pallas_batched(qp, warm, opts, banded_plan,
+                                        eq_rows)
 
 
 def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
                              opts: SolverOptions,
-                             banded_plan=None) -> QPSolution:
+                             banded_plan=None, eq_rows=None) -> QPSolution:
+    import numpy as np
+
     from pigeon_tpu.solver.pallas_admm import admm_iterations
 
     dtype = qp.q.dtype
     B = qp.q.shape[0]
-    qps, D, E, c = jax.vmap(lambda q: _ruiz(q, opts.scaling_iters))(qp) \
-        if opts.scaling_iters > 0 else (
-            qp, jnp.ones_like(qp.q), jnp.ones_like(qp.l),
-            jnp.ones((B,), dtype))
-    Pb, qb, Ab, lb, ub = qps
+    interpret = jax.devices()[0].platform != "tpu"
+    if opts.scaling_iters > 0:
+        # in-VMEM Ruiz kernel: one HBM round trip instead of ~9 whole-
+        # batch passes (see solver/pallas_ruiz.py)
+        from pigeon_tpu.solver.pallas_ruiz import ruiz_batched
+        Pb, qb, Ab, lb, ub, D, E, c = ruiz_batched(
+            qp.P_diag, qp.q, qp.A, qp.l, qp.u,
+            iters=opts.scaling_iters, tile=opts.pallas_tile,
+            interpret=interpret)
+    else:
+        Pb, qb, Ab, lb, ub = qp
+        D, E, c = (jnp.ones_like(qp.q), jnp.ones_like(qp.l),
+                   jnp.ones((B,), dtype))
     sigma = jnp.asarray(opts.sigma, dtype)
 
     is_eq = (qp.u - qp.l) < 1e-10
@@ -370,11 +385,29 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
     z = E * warm.z
     y = c[:, None] * warm.y / E
 
+    # Mixed-precision kernel modes need the statically-known equality rows
+    # permuted to the front (see pallas_admm._kernel).  K = A' rho A is
+    # invariant under row permutation, so the whole solve runs in permuted
+    # row space; z/y/E are un-permuted at exit.
+    mixed = (opts.pallas_precision in ("mixed", "mixedk6")
+             and eq_rows is not None)
+    if mixed:
+        m = qp.l.shape[-1]
+        eq = np.asarray(eq_rows, np.int64)
+        perm = np.concatenate([eq, np.setdiff1d(np.arange(m), eq)])
+        inv_perm = jnp.asarray(np.argsort(perm))
+        perm = jnp.asarray(perm)
+        rowp = lambda a: a[:, perm]
+        Ab, lb, ub = Ab[:, perm, :], rowp(lb), rowp(ub)
+        rho_base, E, z, y = rowp(rho_base), rowp(E), rowp(z), rowp(y)
+        m_eq = int(eq.size)
+    else:
+        m_eq = 0
+
     def factor(rho_vec):
         return jax.vmap(lambda P, A_, r: _factor_inv(
             P, A_, r, sigma, opts, banded_plan))(Pb, Ab, rho_vec)
 
-    interpret = jax.devices()[0].platform != "tpu"
 
     scalings = (D, E, c, qp.P_diag, qp.q)
     amax = lambda v: jnp.max(jnp.abs(v), axis=-1)
@@ -386,7 +419,7 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
             float(opts.sigma), float(opts.alpha),
             tile=opts.pallas_tile, bf16=bf16, interpret=interpret,
             precision=getattr(opts, "pallas_precision", "highest"),
-            scalings=scalings)
+            scalings=scalings, m_eq=m_eq)
         return (xo.astype(dtype), zo.astype(dtype), yo.astype(dtype),
                 stats.astype(dtype))
 
@@ -464,7 +497,10 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
      converged) = jax.lax.while_loop(seg_cond, seg_body, carry)
 
     iters = jnp.broadcast_to(bulk + seg_i * opts.check_every, (B,))
+    z_u, y_u = z / E, (E * y) / c[:, None]
+    if mixed:
+        z_u, y_u = z_u[:, inv_perm], y_u[:, inv_perm]
     return QPSolution(
-        x=D * x, y=(E * y) / c[:, None], z=z / E,
+        x=D * x, y=y_u, z=z_u,
         iterations=iters, prim_res=r_prim, dual_res=r_dual,
         converged=converged, rho_scale=rho_scale)

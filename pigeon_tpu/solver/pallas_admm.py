@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from pigeon_tpu.compile import tpu_jit
+
 try:                                  # the TPU extension registers Mosaic
     from jax.experimental.pallas import tpu as pltpu  # lowerings; absent on
     _VMEM = pltpu.VMEM                # CPU-only installs (interpret mode
@@ -34,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
-            *refs):
+            m_eq_pad: int, *refs):
     """One grid step processes TILE instances resident in VMEM.
 
     All matvecs are expressed as v^T M with the matrix on the RHS
@@ -58,7 +60,14 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
       "bf16": matrices are single bf16, one pass — fast bulk phase of the
         precision ladder; converges to a ~4e-3-perturbed fixed point, so
         callers follow with fp32 polish segments.
+      "mixed" / "mixedk6": row-split arithmetic.  The caller permutes
+        EQUALITY rows to the front (their rho_eq=1e3 scaling amplifies
+        bf16x3 matvec noise through the dual update into a >1 loop gain —
+        measured NaN divergence with all-rows "high"); their A/A^T tiles
+        run 6-pass fp32 while the inequality tiles run 3-pass bf16x3.
+        K^-1 is bf16x3 in "mixed", 6-pass fp32 in "mixedk6".
     """
+    mixed = mode in ("mixed", "mixedk6")
     if mode == "high":
         (Khi_ref, Klo_ref, Ahi_ref, Alo_ref, AThi_ref, ATlo_ref,
          q_ref, l_ref, u_ref, rho_ref, x0_ref, z0_ref, y0_ref,
@@ -67,6 +76,25 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
         A = (Ahi_ref[:], Alo_ref[:])
         AT = (AThi_ref[:], ATlo_ref[:])
         Kinv = (Khi_ref[:], Klo_ref[:])
+    elif mixed:
+        if mode == "mixed":
+            (Khi_ref, Klo_ref, Aeq_ref, Ahi_ref, Alo_ref,
+             ATeq_ref, AThi_ref, ATlo_ref,
+             q_ref, l_ref, u_ref, rho_ref, x0_ref, z0_ref, y0_ref,
+             E_ref, PuD_ref, qu_ref, invDc_ref,
+             x_out, z_out, y_out, stats_out) = refs
+            Kinv = (Khi_ref[:], Klo_ref[:])
+        else:
+            (K_ref, Aeq_ref, Ahi_ref, Alo_ref,
+             ATeq_ref, AThi_ref, ATlo_ref,
+             q_ref, l_ref, u_ref, rho_ref, x0_ref, z0_ref, y0_ref,
+             E_ref, PuD_ref, qu_ref, invDc_ref,
+             x_out, z_out, y_out, stats_out) = refs
+            Kinv = K_ref[:]
+        Aeq = Aeq_ref[:]              # (TILE, m_eq_pad, n) fp32
+        A = (Ahi_ref[:], Alo_ref[:])  # (TILE, m_in_pad, n) bf16 pair
+        ATeq = ATeq_ref[:]            # (TILE, n, m_eq_pad) fp32
+        AT = (AThi_ref[:], ATlo_ref[:])
     else:
         (Kinv_ref, A_ref, AT_ref, q_ref, l_ref, u_ref, rho_ref,
          x0_ref, z0_ref, y0_ref, E_ref, PuD_ref, qu_ref, invDc_ref,
@@ -92,25 +120,48 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
             v, M, dims, precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)
 
+    def _dot6(v, M):
+        return jax.lax.dot_general(
+            v, M, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    def _dot_split(v, Mpair):
+        Mhi, Mlo = Mpair
+        v_hi = v.astype(bf16)
+        v_lo = (v - v_hi.astype(jnp.float32)).astype(bf16)
+        return _dot(v_hi, Mhi) + _dot(v_hi, Mlo) + _dot(v_lo, Mhi)
+
     def vmat(v, M):
         # (TILE, 1, k) x (TILE, k, j) -> (TILE, 1, j)
         if mode == "bf16":
             return _dot(v.astype(bf16), M)
         if mode == "high":
-            Mhi, Mlo = M
-            v_hi = v.astype(bf16)
-            v_lo = (v - v_hi.astype(jnp.float32)).astype(bf16)
-            return _dot(v_hi, Mhi) + _dot(v_hi, Mlo) + _dot(v_lo, Mhi)
-        return jax.lax.dot_general(
-            v, M, dims, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+            return _dot_split(v, M)
+        return _dot6(v, M)
+
+    if mixed:
+        # matA: v over rows -> A^T v; matAT: v over cols -> A v
+        def matA(v):
+            return (_dot6(v[:, :, :m_eq_pad], Aeq)
+                    + _dot_split(v[:, :, m_eq_pad:], A))
+
+        def matAT(v):
+            return jnp.concatenate(
+                [_dot6(v, ATeq), _dot_split(v, AT)], axis=-1)
+
+        matK = (lambda v: _dot_split(v, Kinv)) if mode == "mixed" \
+            else (lambda v: _dot6(v, Kinv))
+    else:
+        matA = lambda v: vmat(v, A)
+        matAT = lambda v: vmat(v, AT)
+        matK = lambda v: vmat(v, Kinv)
 
     def body(_, carry):
         x, z, y = carry
         w = rho * z - y                                   # (TILE, m)
-        rhs = sigma * x - qv + vmat(w, A)                 # A^T w
-        xt = vmat(rhs, Kinv)                              # K^-1 rhs (sym)
-        zt = vmat(xt, AT)                                 # A xt
+        rhs = sigma * x - qv + matA(w)                    # A^T w
+        xt = matK(rhs)                                    # K^-1 rhs (sym)
+        zt = matAT(xt)                                    # A xt
         x_n = alpha * xt + (1.0 - alpha) * x
         z_mix = alpha * zt + (1.0 - alpha) * z
         z_n = jnp.clip(z_mix + y * inv_rho, lv, uv)
@@ -130,8 +181,8 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
     # x = D x_bar, y = E y_bar / c the unscaled products are elementwise
     # rescalings of the in-VMEM scaled ones (E_ref the row scaling,
     # PuD = P_unscaled * D, qu the unscaled q, invDc = 1/(D c)).
-    ax = vmat(x, AT)                                    # A_bar x_bar
-    aty = vmat(y, A)                                    # A_bar^T y_bar
+    ax = matAT(x)                                       # A_bar x_bar
+    aty = matA(y)                                       # A_bar^T y_bar
     invE = 1.0 / E_ref[:]
     Ax_u = ax * invE
     z_u = z * invE
@@ -146,14 +197,14 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
     stats_out[:] = stats
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "sigma", "alpha",
+@functools.partial(tpu_jit, static_argnames=("n_iters", "sigma", "alpha",
                                              "tile", "interpret", "bf16",
-                                             "precision"))
+                                             "precision", "m_eq"))
 def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
                     n_iters: int, sigma: float, alpha: float,
                     tile: int = 1, interpret: bool = False,
                     bf16: bool = False, precision: str = "highest",
-                    scalings=None):
+                    scalings=None, m_eq: int = 0):
     """Run `n_iters` ADMM iterations for a batch of QPs entirely in VMEM.
 
     Inputs are the *scaled* problem quantities (post-Ruiz), batched on the
@@ -173,12 +224,24 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     """
     B, m, n = A.shape
     n_pad = _round_up(n, 128)
-    m_pad = _round_up(m, 128)
     B_pad = _round_up(B, tile)
     f32 = jnp.float32
     mode = "bf16" if bf16 else str(precision)
-    if mode not in ("bf16", "high", "highest"):
+    if mode not in ("bf16", "high", "highest", "mixed", "mixedk6"):
         raise ValueError(f"unknown precision {precision!r}")
+    mixed = mode in ("mixed", "mixedk6")
+    if mixed and not 0 < m_eq <= m:
+        raise ValueError("mixed precision requires m_eq leading equality "
+                         "rows (caller permutes them to the front)")
+    if mixed:
+        # row space is padded per SEGMENT so the eq/ineq boundary falls on
+        # a lane-tile multiple: [eq, pad, ineq, pad]
+        m_eq_pad = _round_up(m_eq, 128)
+        m_in = m - m_eq
+        m_pad = m_eq_pad + _round_up(m_in, 128)
+    else:
+        m_eq_pad = 0
+        m_pad = _round_up(m, 128)
     mat_dtype = jnp.bfloat16 if bf16 else f32
 
     if scalings is None:
@@ -198,34 +261,53 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
         sl = tuple(slice(0, s) for s in arr.shape)
         return out.at[sl].set(arr.astype(dtype))
 
+    def padm(arr, fill=0.0):
+        """Pad along the row axis; for mixed modes, per segment so row
+        m_eq lands at lane-tile-aligned position m_eq_pad."""
+        if not mixed:
+            return pad(arr, (B_pad,) + arr.shape[1:-1] + (m_pad,),
+                       fill=fill)
+        out = jnp.full((B_pad,) + arr.shape[1:-1] + (m_pad,), fill, f32)
+        out = out.at[:B, ..., :m_eq].set(arr[..., :m_eq].astype(f32))
+        return out.at[:B, ..., m_eq_pad:m_eq_pad + m_in].set(
+            arr[..., m_eq:].astype(f32))
+
+    def split(M):
+        # bf16 (hi, lo) — same total bytes as one fp32 copy
+        hi = M.astype(jnp.bfloat16)
+        lo = (M - hi.astype(f32)).astype(jnp.bfloat16)
+        return hi, lo
+
     Kp = pad(Kinv, (B_pad, n_pad, n_pad), dtype=f32)
     # identity on the padded diagonal keeps padded x coords stable
     diag_idx = jnp.arange(n, n_pad)
     Kp = Kp.at[:, diag_idx, diag_idx].set(1.0)
-    Ap = pad(A, (B_pad, m_pad, n_pad), dtype=f32)
-    ATp = jnp.swapaxes(Ap, -1, -2)
-    if mode == "high":
-        # bf16 (hi, lo) splits — same total bytes as one fp32 copy
-        def split(M):
-            hi = M.astype(jnp.bfloat16)
-            lo = (M - hi.astype(f32)).astype(jnp.bfloat16)
-            return hi, lo
-        Khi, Klo = split(Kp)
-        Ahi, Alo = split(Ap)
-        AThi, ATlo = split(ATp)
-        mats = [Khi, Klo, Ahi, Alo, AThi, ATlo]
+    if mixed:
+        Aeq = pad(A[:, :m_eq], (B_pad, m_eq_pad, n_pad), dtype=f32)
+        Ain = pad(A[:, m_eq:], (B_pad, m_pad - m_eq_pad, n_pad),
+                  dtype=f32)
+        Ahi, Alo = split(Ain)
+        ATeq = jnp.swapaxes(Aeq, -1, -2).copy()
+        AThi, ATlo = split(jnp.swapaxes(Ain, -1, -2).copy())
+        mats = ([*split(Kp)] if mode == "mixed" else [Kp]) \
+            + [Aeq, Ahi, Alo, ATeq, AThi, ATlo]
+    elif mode == "high":
+        Ap = pad(A, (B_pad, m_pad, n_pad), dtype=f32)
+        mats = [*split(Kp), *split(Ap),
+                *split(jnp.swapaxes(Ap, -1, -2).copy())]
     else:
+        Ap = pad(A, (B_pad, m_pad, n_pad), dtype=f32)
         mats = [Kp.astype(mat_dtype), Ap.astype(mat_dtype),
-                ATp.astype(mat_dtype).copy()]
+                jnp.swapaxes(Ap, -1, -2).astype(mat_dtype).copy()]
     vec = lambda a: a[:, None, :]
     qp_ = vec(pad(q, (B_pad, n_pad)))
-    lp = vec(pad(l, (B_pad, m_pad)))
-    up = vec(pad(u, (B_pad, m_pad)))
-    rp = vec(pad(rho, (B_pad, m_pad), fill=1.0))
+    lp = vec(padm(l))
+    up = vec(padm(u))
+    rp = vec(padm(rho, fill=1.0))
     xp = vec(pad(x0, (B_pad, n_pad)))
-    zp = vec(pad(z0, (B_pad, m_pad)))
-    yp = vec(pad(y0, (B_pad, m_pad)))
-    Ep = vec(pad(E, (B_pad, m_pad), fill=1.0))     # 1.0: no inf in 1/E pad
+    zp = vec(padm(z0))
+    yp = vec(padm(y0))
+    Ep = vec(padm(E, fill=1.0))                    # 1.0: no inf in 1/E pad
     PuDp = vec(pad(PuD, (B_pad, n_pad)))
     qup = vec(pad(qu, (B_pad, n_pad)))
     invDcp = vec(pad(invDc, (B_pad, n_pad)))
@@ -237,7 +319,16 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
         return pl.BlockSpec((tile,) + dims,
                             lambda i: (i,) + (0,) * len(dims), **kw)
 
-    if mode == "high":
+    if mixed:
+        m_in_pad = m_pad - m_eq_pad
+        k_specs = ([bspec(n_pad, n_pad)] * 2 if mode == "mixed"
+                   else [bspec(n_pad, n_pad)])
+        mat_specs = k_specs + [
+            bspec(m_eq_pad, n_pad),
+            bspec(m_in_pad, n_pad), bspec(m_in_pad, n_pad),
+            bspec(n_pad, m_eq_pad),
+            bspec(n_pad, m_in_pad), bspec(n_pad, m_in_pad)]
+    elif mode == "high":
         mat_specs = [bspec(n_pad, n_pad), bspec(n_pad, n_pad),
                      bspec(m_pad, n_pad), bspec(m_pad, n_pad),
                      bspec(n_pad, m_pad), bspec(n_pad, m_pad)]
@@ -247,7 +338,7 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     n_mats = len(mats)
     out = pl.pallas_call(
         functools.partial(_kernel, n_iters, float(sigma), float(alpha),
-                          mode),
+                          mode, m_eq_pad),
         grid=grid,
         in_specs=mat_specs + [
             bspec(1, n_pad),
@@ -272,5 +363,11 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
         interpret=interpret,
     )(*mats, qp_, lp, up, rp, xp, zp, yp, Ep, PuDp, qup, invDcp)
     x, z, y, stats = out
+    if mixed:
+        unpadm = lambda a: jnp.concatenate(
+            [a[:B, 0, :m_eq], a[:B, 0, m_eq_pad:m_eq_pad + m_in]],
+            axis=-1)
+        return (x[:B, 0, :n].astype(A.dtype), unpadm(z).astype(A.dtype),
+                unpadm(y).astype(A.dtype), stats[:B, 0, :])
     return (x[:B, 0, :n].astype(A.dtype), z[:B, 0, :m].astype(A.dtype),
             y[:B, 0, :m].astype(A.dtype), stats[:B, 0, :])

@@ -123,15 +123,20 @@ def _segment_index(knots, x, n_valid):
 def _lerp_spatial(tube: TrajectoryTube, s):
     """Linear interp of the spatial columns by arclength with linear
     extrapolation beyond the ends (the reference's Gridded(Linear) +
-    Line() extrapolation, `src/trajectories.jl:32-35`)."""
+    Line() extrapolation, `src/trajectories.jl:32-35`).
+
+    The spatial columns are gathered as ROWS of one stacked (L, 8) matrix
+    — two gathers total instead of 16.  Per-field gathers dominated the
+    warm node-seeding phase at fleet batch sizes (the stack itself is
+    batch-invariant, so vmap/XLA hoist it out of the per-query work)."""
     i = _segment_index(tube.s, s, tube.n_valid)
     s0, s1 = tube.s[i], tube.s[i + 1]
     lam = (s - s0) / (s1 - s0)   # deliberately unclamped -> Line() extrapolation
-    out = {}
-    for name in _SPATIAL_FIELDS:
-        col = getattr(tube, name)
-        out[name] = col[i] + lam * (col[i + 1] - col[i])
-    return out
+    cols = jnp.stack([getattr(tube, name) for name in _SPATIAL_FIELDS],
+                     axis=-1)                      # (L, 8)
+    r0, r1 = cols[i], cols[i + 1]
+    vals = r0 + lam[..., None] * (r1 - r0)
+    return {name: vals[..., k] for k, name in enumerate(_SPATIAL_FIELDS)}
 
 
 def _seg_accel(tube: TrajectoryTube, i):

@@ -92,6 +92,13 @@ def run(tag, **solver_kw):
     }), flush=True)
 
 
-for tag, kw in [("highest", {"pallas_precision": "highest"}),
-                ("high", {"pallas_precision": "high"})]:
+import ast
+
+configs = [("highest", {"pallas_precision": "highest"}),
+           ("high", {"pallas_precision": "high"})]
+if len(sys.argv) > 2:
+    # extra configs as "tag:{dict literal}" args
+    configs = [(a.split(":", 1)[0], ast.literal_eval(a.split(":", 1)[1]))
+               for a in sys.argv[2:]]
+for tag, kw in configs:
     run(tag, **kw)

@@ -4,6 +4,7 @@ consistent with the per-element auto path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pigeon_tpu import hji as H
 from pigeon_tpu import mpc as M
@@ -65,14 +66,16 @@ def test_batched_step_mixed_solved_uses_auto():
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u2r), atol=1e-12)
 
 
-def test_batched_step_pallas_stats_truthful():
+@pytest.mark.parametrize("precision", ["highest", "mixedk6"])
+def test_batched_step_pallas_stats_truthful(precision):
     """The natively-batched pallas solver path (interpret mode on CPU)
     computes its residuals IN KERNEL from the VMEM-resident iterates
     (solver/pallas_admm.py stats output); a bug in the stats unscaling
     would silently corrupt the convergence control.  Guard: the reported
     prim/dual residuals must equal residuals recomputed independently
     from the returned solution, and `converged` must imply they satisfy
-    the OSQP tolerance."""
+    the OSQP tolerance.  Covers the mixed-precision row-split mode
+    (equality rows permuted to the front; solver/pallas_admm._kernel)."""
     import dataclasses
 
     from pigeon_tpu.solver.admm import cold_start, solve_qp_batched
@@ -83,11 +86,17 @@ def test_batched_step_pallas_stats_truthful():
                                            t, "auto"))(carry_b, q0, u0,
                                                        oc, ts)
     opts = dataclasses.replace(cfg.solver, backend="pallas",
-                               pallas_tile=2)
+                               pallas_tile=2,
+                               pallas_precision=precision)
     sol = solve_qp_batched(qp, jax.vmap(cold_start)(qp), opts,
-                           M._banded_plan_for(cfg))
+                           M._banded_plan_for(cfg),
+                           eq_rows=M._eq_rows_for(cfg))
     x, z, y = np.asarray(sol.x), np.asarray(sol.z), np.asarray(sol.y)
     A, P, qv = np.asarray(qp.A), np.asarray(qp.P_diag), np.asarray(qp.q)
+    # mixed modes compute the inequality-tile stats matvecs at bf16x3
+    # (~2e-5 absolute noise floor — far below the >=1e-3 termination
+    # thresholds); "highest" stats are exact to fp32 roundoff
+    atol = 1e-7 if precision == "highest" else 5e-5
     for b in range(x.shape[0]):
         Ax = A[b] @ x[b]
         Aty = A[b].T @ y[b]
@@ -95,9 +104,9 @@ def test_batched_step_pallas_stats_truthful():
         rp = np.max(np.abs(Ax - z[b]))
         rd = np.max(np.abs(Px + qv[b] + Aty))
         np.testing.assert_allclose(float(sol.prim_res[b]), rp,
-                                   rtol=1e-2, atol=1e-7)
+                                   rtol=1e-2, atol=atol)
         np.testing.assert_allclose(float(sol.dual_res[b]), rd,
-                                   rtol=1e-2, atol=1e-7)
+                                   rtol=1e-2, atol=atol)
         if bool(np.asarray(sol.converged)[b]):
             eps_p = opts.eps_abs + opts.eps_rel * max(
                 np.abs(Ax).max(), np.abs(z[b]).max())
