@@ -63,8 +63,8 @@ def latency_mode(args):
         cfg = dataclasses.replace(cfg, solver=SolverOptions(
             max_iter=args.solver_iters, check_every=args.solver_iters,
             eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
-            factor_method="banded", pallas_tile=min(4, B),
-            pallas_precision="mixedk6"))
+            factor_method="banded", pallas_tile=min(2, B),
+            pallas_precision="mixedk6", pallas_check_inner=10))
         rng = np.random.default_rng(0)
         k0 = rng.integers(0, 900, B)
         q0 = jnp.asarray(np.stack(
@@ -202,11 +202,16 @@ def main():
     # iteration but DIVERGE on this QP family: the rho_eq=1e3*rho equality
     # rows amplify bf16 rounding of A/K^-1 through the dual update into a
     # >1 loop gain.  Full fp32 (6-pass MXU) iterations only.
+    # Solver config: ONE kernel call of up to 3*solver_iters iterations
+    # with in-kernel convergence checks every 10 — each Pallas grid step
+    # (pallas_tile instances) exits as soon as its instances converge, so
+    # the fleet pays the mean iteration count while stragglers get the
+    # full budget (conv >= 0.95 at the default 150).
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
-        max_iter=2 * args.solver_iters, check_every=args.solver_iters,
+        max_iter=3 * args.solver_iters, check_every=3 * args.solver_iters,
         eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
-        factor_method="banded", bf16_bulk_iters=0, pallas_tile=4,
-        pallas_precision="mixedk6"))
+        factor_method="banded", bf16_bulk_iters=0, pallas_tile=2,
+        pallas_precision="mixedk6", pallas_check_inner=10))
 
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)

@@ -228,6 +228,11 @@ class SolverOptions:
     #   "mixedk6": like "mixed" but K^-1 also at 6-pass fp32.
     # The FACTORIZATION stays at HIGHEST regardless (solver/banded.py).
     pallas_precision: str = "highest"
+    # In-kernel convergence-check period (iterations).  Pallas grid steps
+    # run sequentially, so a tile that detects convergence stops early
+    # and the batch pays the MEAN iteration count, not the fixed budget.
+    # 0 disables (fixed-length segments, deterministic latency).
+    pallas_check_inner: int = 10
     # Tensor-parallel mesh axis name (shard_map) for the KKT factorization:
     # identity RHS columns of the banded solve are sharded across this
     # axis and re-assembled with all_gather.  None = no TP.

@@ -419,7 +419,9 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
             float(opts.sigma), float(opts.alpha),
             tile=opts.pallas_tile, bf16=bf16, interpret=interpret,
             precision=getattr(opts, "pallas_precision", "highest"),
-            scalings=scalings, m_eq=m_eq)
+            scalings=scalings, m_eq=m_eq,
+            check=getattr(opts, "pallas_check_inner", 0),
+            eps_abs=float(opts.eps_abs), eps_rel=float(opts.eps_rel))
         return (xo.astype(dtype), zo.astype(dtype), yo.astype(dtype),
                 stats.astype(dtype))
 
@@ -470,9 +472,11 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
         return (seg_i < n_seg) & jnp.logical_not(jnp.all(converged))
 
     def seg_body(carry):
-        (x, z, y, Kinv, rho_vec, rho_scale, seg_i, _, _, _) = carry
+        (x, z, y, Kinv, rho_vec, rho_scale, seg_i, _, _, _,
+         iters_acc) = carry
         x, z, y, stats = run_iters(Kinv, rho_vec, x, z, y,
                                    opts.check_every, False)
+        iters_acc = iters_acc + stats[:, 6]     # executed (early exit)
         (r_prim, r_dual, eps_p, eps_d, m_Ax, m_z, m_Px,
          m_Aty) = residuals(stats)
         converged = (r_prim <= eps_p) & (r_dual <= eps_d)
@@ -489,14 +493,15 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
                 lambda: (factor(new_rho_vec), new_rho_vec),
                 lambda: (Kinv, rho_vec))
         return (x, z, y, Kinv, rho_vec, rho_scale, seg_i + 1,
-                r_prim, r_dual, converged)
+                r_prim, r_dual, converged, iters_acc)
 
     carry = (x, z, y, Kinv, rho_vec, rho_scale,
-             jnp.asarray(0, jnp.int32), r_prim, r_dual, converged)
+             jnp.asarray(0, jnp.int32), r_prim, r_dual, converged,
+             jnp.full((B,), float(bulk), dtype))
     (x, z, y, _, _, rho_scale, seg_i, r_prim, r_dual,
-     converged) = jax.lax.while_loop(seg_cond, seg_body, carry)
+     converged, iters_acc) = jax.lax.while_loop(seg_cond, seg_body, carry)
 
-    iters = jnp.broadcast_to(bulk + seg_i * opts.check_every, (B,))
+    iters = iters_acc.astype(jnp.int32)
     z_u, y_u = z / E, (E * y) / c[:, None]
     if mixed:
         z_u, y_u = z_u[:, inv_perm], y_u[:, inv_perm]

@@ -36,7 +36,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
-            m_eq_pad: int, *refs):
+            m_eq_pad: int, check: int, eps_abs: float, eps_rel: float,
+            *refs):
     """One grid step processes TILE instances resident in VMEM.
 
     All matvecs are expressed as v^T M with the matrix on the RHS
@@ -168,43 +169,88 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
         y_n = y + rho * (z_mix - z_n)
         return x_n, z_n, y_n
 
-    x, z, y = jax.lax.fori_loop(
-        0, n_iters, body, (x0_ref[:], z0_ref[:], y0_ref[:]))
+    # Residual statistics computed IN KERNEL: two extra matvecs per check
+    # (vs whole-matrix HBM re-reads if the caller recomputed them) plus
+    # VPU max-reductions on VMEM-resident data.  Scalars out — whole-batch
+    # vector outputs would overflow XLA's scoped-VMEM result allocation
+    # at B=2048.  Unscaling: with A = E^-1 A_bar D^-1, x = D x_bar,
+    # y = E y_bar / c the unscaled products are elementwise rescalings of
+    # the in-VMEM scaled ones (E_ref the row scaling, PuD = P_unscaled*D,
+    # qu the unscaled q, invDc = 1/(D c)).
+    invE = 1.0 / E_ref[:]
+    amax_qu = jnp.max(jnp.abs(qu_ref[:]), axis=-1)      # (TILE, 1)
+
+    def calc_stats(x, z, y):
+        ax = matAT(x)                                   # A_bar x_bar
+        aty = matA(y)                                   # A_bar^T y_bar
+        Ax_u = ax * invE
+        z_u = z * invE
+        dual_vec = PuD_ref[:] * x + qu_ref[:] + aty * invDc_ref[:]
+        Px_u = PuD_ref[:] * x
+        Aty_u = aty * invDc_ref[:]
+        stat = lambda v: jnp.max(jnp.abs(v), axis=-1)   # (TILE, 1)
+        z8 = jnp.zeros_like(amax_qu)
+        stats = jnp.stack([stat(Ax_u - z_u), stat(dual_vec), stat(Ax_u),
+                           stat(z_u), stat(Px_u), stat(Aty_u), z8, z8],
+                          axis=-1)                      # (TILE, 1, 8)
+        eps_p = eps_abs + eps_rel * jnp.maximum(stats[..., 2],
+                                                stats[..., 3])
+        eps_d = eps_abs + eps_rel * jnp.maximum(
+            jnp.maximum(stats[..., 4], stats[..., 5]), amax_qu)
+        conv = jnp.all((stats[..., 0] <= eps_p) & (stats[..., 1] <= eps_d))
+        return stats, conv
+
+    x0v, z0v, y0v = x0_ref[:], z0_ref[:], y0_ref[:]
+    if 0 < check < n_iters:
+        # EARLY EXIT per grid step: grid steps run sequentially on the
+        # core, so a tile that stops at its convergence check converts
+        # the batch's MEAN iteration count into wall time instead of the
+        # fixed budget (warm fleets: most instances converge in a
+        # fraction of max_iter while a few stragglers run long).  The
+        # OSQP termination test here is IDENTICAL to the caller's
+        # (solver/admm.py residuals()), so the outer segment loop agrees
+        # with the in-kernel decision.
+        n_blocks = -(-n_iters // check)
+
+        def seg_cond(c):
+            _, _, _, _, it, done = c
+            return jnp.logical_not(done) & (it < n_blocks)
+
+        def seg_body(c):
+            x, z, y, stats, it, _ = c
+            x, z, y = jax.lax.fori_loop(0, check, body, (x, z, y))
+            stats, conv = calc_stats(x, z, y)
+            return x, z, y, stats, it + 1, conv
+
+        stats0 = jnp.zeros((x0v.shape[0], 1, 8), jnp.float32)
+        x, z, y, stats, it, _ = jax.lax.while_loop(
+            seg_cond, seg_body,
+            (x0v, z0v, y0v, stats0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(False)))
+        col = jax.lax.broadcasted_iota(jnp.int32, stats.shape, 2)
+        stats = jnp.where(col == 6, (it * check).astype(jnp.float32),
+                          stats)
+    else:
+        x, z, y = jax.lax.fori_loop(0, n_iters, body, (x0v, z0v, y0v))
+        stats, _ = calc_stats(x, z, y)
+        col = jax.lax.broadcasted_iota(jnp.int32, stats.shape, 2)
+        stats = jnp.where(col == 6, float(n_iters), stats)
     x_out[:] = x
     z_out[:] = z
     y_out[:] = y
-    # Residual statistics computed IN KERNEL: two extra matvecs per
-    # SEGMENT (vs per residual check from HBM if the caller recomputed
-    # them) plus VPU max-reductions on VMEM-resident data.  Scalars out —
-    # whole-batch vector outputs would overflow XLA's 16 MB scoped-VMEM
-    # result allocation at B=2048.  Unscaling: with A = E^-1 A_bar D^-1,
-    # x = D x_bar, y = E y_bar / c the unscaled products are elementwise
-    # rescalings of the in-VMEM scaled ones (E_ref the row scaling,
-    # PuD = P_unscaled * D, qu the unscaled q, invDc = 1/(D c)).
-    ax = matAT(x)                                       # A_bar x_bar
-    aty = matA(y)                                       # A_bar^T y_bar
-    invE = 1.0 / E_ref[:]
-    Ax_u = ax * invE
-    z_u = z * invE
-    dual_vec = PuD_ref[:] * x + qu_ref[:] + aty * invDc_ref[:]
-    Px_u = PuD_ref[:] * x
-    Aty_u = aty * invDc_ref[:]
-    stat = lambda v: jnp.max(jnp.abs(v), axis=-1)       # (TILE, 1)
-    z8 = jnp.zeros_like(stat(Ax_u))
-    stats = jnp.stack([stat(Ax_u - z_u), stat(dual_vec), stat(Ax_u),
-                       stat(z_u), stat(Px_u), stat(Aty_u), z8, z8],
-                      axis=-1)                          # (TILE, 1, 8)
     stats_out[:] = stats
 
 
 @functools.partial(tpu_jit, static_argnames=("n_iters", "sigma", "alpha",
                                              "tile", "interpret", "bf16",
-                                             "precision", "m_eq"))
+                                             "precision", "m_eq", "check",
+                                             "eps_abs", "eps_rel"))
 def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
                     n_iters: int, sigma: float, alpha: float,
                     tile: int = 1, interpret: bool = False,
                     bf16: bool = False, precision: str = "highest",
-                    scalings=None, m_eq: int = 0):
+                    scalings=None, m_eq: int = 0, check: int = 0,
+                    eps_abs: float = 1e-3, eps_rel: float = 1e-3):
     """Run `n_iters` ADMM iterations for a batch of QPs entirely in VMEM.
 
     Inputs are the *scaled* problem quantities (post-Ruiz), batched on the
@@ -338,7 +384,8 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     n_mats = len(mats)
     out = pl.pallas_call(
         functools.partial(_kernel, n_iters, float(sigma), float(alpha),
-                          mode, m_eq_pad),
+                          mode, m_eq_pad, int(check), float(eps_abs),
+                          float(eps_rel)),
         grid=grid,
         in_specs=mat_specs + [
             bspec(1, n_pad),

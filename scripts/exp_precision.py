@@ -36,10 +36,11 @@ dtype = jnp.float32
 
 def run(tag, **solver_kw):
     cfg = M.x1_coupled_config()
-    cfg = dataclasses.replace(cfg, solver=SolverOptions(
-        max_iter=100, check_every=50, eps_abs=1e-3, eps_rel=1e-3,
-        backend="pallas", scaling_iters=4, factor_method="banded",
-        bf16_bulk_iters=0, pallas_tile=4, **solver_kw))
+    base = dict(max_iter=100, check_every=50, eps_abs=1e-3, eps_rel=1e-3,
+                backend="pallas", scaling_iters=4, factor_method="banded",
+                bf16_bulk_iters=0, pallas_tile=4)
+    base.update(solver_kw)
+    cfg = dataclasses.replace(cfg, solver=SolverOptions(**base))
     rng = np.random.default_rng(0)
     k0 = rng.integers(0, 900, B)
     E = np.asarray(tube.E)[k0] + rng.uniform(-0.5, 0.5, B)
