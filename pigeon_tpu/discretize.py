@@ -22,6 +22,8 @@ offset c — replicating `keep_control_dims` semantics
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -271,6 +273,111 @@ def linearize_horizon_fused(f, qs, urs, dts, S: int, n_keep: int,
     return extract_affine_horizon(E, dts, urs[:T], urs_next, n, m, n_keep)
 
 
+def _expm_chain_kernel(squarings: int, order: int, m_ref, out_ref):
+    """Whole scaling-and-squaring chain on a VMEM-resident block of
+    packed stage matrices ((TILE,) G, D, D).  Leading dims merge into
+    ONE batch dim (Mosaic's matmul supports at most one)."""
+    blk = m_ref[:]
+    shape = blk.shape
+    D = shape[-1]
+    S = blk.reshape((-1, D, D)) * (1.0 / 2.0 ** squarings)
+    row = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, S.shape, 2)
+    eye = (row == col).astype(S.dtype)
+    dims = (((2,), (1,)), ((0,), (0,)))
+
+    def mm(A, B):
+        return jax.lax.dot_general(
+            A, B, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    E = eye + S * (1.0 / order)
+    for k in range(order - 1, 0, -1):
+        E = eye + mm(S, E) * (1.0 / k)
+    for _ in range(squarings):
+        E = mm(E, E)
+    out_ref[:] = E.reshape(shape)
+
+
+def _expm_chain_batched(big_b, squarings: int, order: int, tile: int = 8):
+    """Explicitly-tiled batched expm chain: TILE instances per grid step
+    (a 1-instance grid step is ~2 us of MXU work against ~16 us of
+    per-step overhead — the whole win of the in-VMEM chain drowns)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem_kw = {"memory_space": pltpu.VMEM}
+    except (ImportError, NotImplementedError):
+        vmem_kw = {}
+
+    B, G, D = big_b.shape[0], big_b.shape[1], big_b.shape[-1]
+    B_pad = -(-B // tile) * tile
+    if B_pad != B:
+        big_b = jnp.concatenate(
+            [big_b, jnp.zeros((B_pad - B, G, D, D), big_b.dtype)])
+    spec = pl.BlockSpec((tile, G, D, D), lambda i: (i, 0, 0, 0),
+                        **vmem_kw)
+    out = pl.pallas_call(
+        _ft.partial(_expm_chain_kernel, squarings, order),
+        grid=(B_pad // tile,),
+        in_specs=[spec], out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B_pad, G, D, D), big_b.dtype),
+    )(big_b)
+    return out[:B]
+
+
+def _make_expm_chain_pallas(squarings: int, order: int):
+    """custom_vmap wrapper: the single-instance Pallas chain whose vmap
+    rule dispatches to the explicitly-tiled batched kernel.
+
+    The MPC step vmaps per-instance pre-solve code; without this rule,
+    vmapping the pallas_call maps instances onto the grid with block
+    size 1 and per-grid-step overhead dominates (measured ~33 ms at
+    B=2048 vs ~6 ms tiled).  The XLA chain materializes every
+    Horner/squaring intermediate to HBM — ~15 GB at B=2048, ~43 ms —
+    so the in-VMEM chain (one HBM read + write) is the win; HIGHEST
+    (6-pass fp32) matmul precision throughout.
+    """
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem_kw = {"memory_space": pltpu.VMEM}
+    except (ImportError, NotImplementedError):
+        vmem_kw = {}
+
+    @jax.custom_batching.custom_vmap
+    def expm_chain(big):
+        G, D = big.shape[0], big.shape[-1]
+        spec = pl.BlockSpec((G, D, D), lambda: (0, 0, 0), **vmem_kw)
+        return pl.pallas_call(
+            _ft.partial(_expm_chain_kernel, squarings, order),
+            in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((G, D, D), big.dtype),
+        )(big)
+
+    @expm_chain.def_vmap
+    def _expm_chain_vmap(axis_size, in_batched, big_b):
+        out = _expm_chain_batched(big_b, squarings, order)
+        return out, True
+
+    return expm_chain
+
+
+@functools.lru_cache(maxsize=None)
+def _expm_chain_pallas_cached(squarings: int, order: int):
+    return _make_expm_chain_pallas(squarings, order)
+
+
+def _expm_chain_pallas(big, squarings: int, order: int):
+    return _expm_chain_pallas_cached(squarings, order)(big)
+
+
 def _expm_stage_packed(M, squarings: int, order: int, precision: str):
     """expm of a (T, d, d) stack via block-diagonal packing.
 
@@ -291,12 +398,20 @@ def _expm_stage_packed(M, squarings: int, order: int, precision: str):
     pad = G * k - T
     Mp = jnp.concatenate(
         [M, jnp.zeros((pad, d, d), M.dtype)]) if pad else M
-    big = jnp.zeros((G, k * d, k * d), M.dtype)
+    # The packed matrix is padded to the full 128x128 MXU tile: k*d=114
+    # is not sublane-aligned and every matmul of the chain would pay a
+    # relayout; the trailing zero block exponentiates to I and is never
+    # extracted.
+    D = 128
+    big = jnp.zeros((G, D, D), M.dtype)
     Mg = Mp.reshape(G, k, d, d)
     for j in range(k):
         big = big.at[:, j * d:(j + 1) * d, j * d:(j + 1) * d].set(Mg[:, j])
-    Eb = expm_fixed(big, squarings=squarings, order=order,
-                    precision=precision)
+    if jax.devices()[0].platform == "tpu":
+        Eb = _expm_chain_pallas(big, squarings=squarings, order=order)
+    else:
+        Eb = expm_fixed(big, squarings=squarings, order=order,
+                        precision=precision)
     Es = [Eb[:, j * d:(j + 1) * d, j * d:(j + 1) * d] for j in range(k)]
     E = jnp.stack(Es, axis=1).reshape(G * k, d, d)
     return E[:T]

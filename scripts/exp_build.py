@@ -115,3 +115,90 @@ A2 = timeit("assemble_gather", assemble_gather, vals)
 np.testing.assert_allclose(np.asarray(A1[:4]), np.asarray(A2[:4]),
                            rtol=1e-6, atol=1e-6)
 print("gather == scatter OK", flush=True)
+
+
+# --- artifact check: vary inputs per call + HBM write floor ---------------
+@tpu_jit
+def write_floor(x):
+    return jnp.broadcast_to(x, (B, L.m, L.n)) + 1.0
+
+
+def timeit_vary(tag, fn, make_args, iters=8):
+    out = jax.block_until_ready(fn(*make_args(0)))
+    lat = []
+    for i in range(1, iters + 1):
+        a = make_args(i)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*a))
+        lat.append(time.perf_counter() - t0)
+    print(json.dumps({"tag": tag, "ms": round(
+        float(np.median(lat)) * 1e3, 3), "batch": B}), flush=True)
+
+
+timeit_vary("full_build_vary", build,
+            lambda i: (qs + i * 1e-6, us, ps, ts, hji_M, hji_b))
+timeit_vary("linearize_vary", lin_only,
+            lambda i: (qs + i * 1e-6, us, ps, ts))
+timeit_vary("write_floor_vary", write_floor,
+            lambda i: (jnp.float32(i),))
+
+
+# --- linearize sub-phases --------------------------------------------------
+@tpu_jit
+def jac_only(qs, us, ps, ts):
+    def one(q_, u_, p_, t):
+        tgrid, dt = M.compute_time_steps(hz, t)
+        ur = jnp.concatenate([u_, p_], axis=-1)
+        return dz.linearize_affine_horizon(f, q_[:T], ur[:T], ur[1:], dt, 2)
+    return jax.vmap(one)(qs, us, ps, ts)
+
+
+timeit_vary("jac_M_build_vary", jac_only,
+            lambda i: (qs + i * 1e-6, us, ps, ts))
+
+
+@tpu_jit
+def expm_only(Ms, dts):
+    return jax.vmap(lambda Mb, d: dz._expm_stage_packed(
+        Mb * d[:, None, None], squarings=7, order=6, precision="high"))(
+        Ms, dts)
+
+
+Ms = jnp.asarray(rng.normal(0, 0.05, (B, T, 19, 19)), dtype)
+dts_b = jnp.broadcast_to(jnp.asarray(
+    np.concatenate([np.full(S, 0.01), np.full(Lg, 0.2)]), dtype), (B, T))
+timeit_vary("expm_only_vary", expm_only,
+            lambda i: (Ms + i * 1e-6, dts_b))
+
+
+# --- kernel-only timing (pre-packed input) --------------------------------
+big_pre = jnp.asarray(rng.normal(0, 0.02, (B, 3, 128, 128)), dtype)
+
+
+@tpu_jit
+def kernel_only(big):
+    return dz._expm_chain_batched(big, squarings=7, order=6)
+
+
+timeit_vary("expm_kernel_only_vary", kernel_only,
+            lambda i: (big_pre + i * 1e-6,))
+
+
+@tpu_jit
+def pack_only(Ms):
+    def one(Mb):
+        T_, d = Mb.shape[0], Mb.shape[-1]
+        k = 128 // d
+        G = -(-T_ // k)
+        pad = G * k - T_
+        Mp = jnp.concatenate([Mb, jnp.zeros((pad, d, d), Mb.dtype)])
+        big = jnp.zeros((G, 128, 128), Mb.dtype)
+        Mg = Mp.reshape(G, k, d, d)
+        for j in range(k):
+            big = big.at[:, j * d:(j + 1) * d,
+                         j * d:(j + 1) * d].set(Mg[:, j])
+        return big
+    return jax.vmap(one)(Ms)
+
+
+timeit_vary("pack_only_vary", pack_only, lambda i: (Ms + i * 1e-6,))
