@@ -153,7 +153,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--solver-iters", type=int, default=50,
-                    help="fixed ADMM budget for deterministic latency")
+                    help="ADMM budget unit: throughput mode runs up to\n"
+                         "3x this with in-kernel early exit; latency mode\n"
+                         "runs exactly this many")
     ap.add_argument("--mode", default="throughput",
                     choices=["throughput", "latency"])
     ap.add_argument("--latency-batches", type=int, nargs="*",

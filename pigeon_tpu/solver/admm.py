@@ -486,10 +486,16 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
             drift = ((scale > ADAPT_TOL) | (scale < 1.0 / ADAPT_TOL)) \
                 & jnp.logical_not(converged)
             rho_scale = jnp.where(drift, pending, rho_scale)
+            # refactor only if another segment will actually consume the
+            # new K^-1 — with check_every == max_iter (single-segment +
+            # in-kernel early exit) the end-of-segment refactor would be
+            # pure waste; the updated rho_scale still carries to the
+            # next SOLVE through the warm start.
+            more_segments = (seg_i + 1 < n_seg)
             new_rho_vec = jnp.clip(rho_base * rho_scale[:, None],
                                    _RHO_MIN, _RHO_MAX)
             Kinv, rho_vec = jax.lax.cond(
-                jnp.any(drift),
+                jnp.any(drift) & more_segments,
                 lambda: (factor(new_rho_vec), new_rho_vec),
                 lambda: (Kinv, rho_vec))
         return (x, z, y, Kinv, rho_vec, rho_scale, seg_i + 1,
