@@ -329,6 +329,87 @@ def _expm_chain_batched(big_b, squarings: int, order: int, tile: int = 8):
     return out[:B]
 
 
+def _expm_lane_kernel(squarings: int, order: int, d: int, m_ref, out_ref):
+    """Lane-batched expm chain: instances on the 128-lane axis.
+
+    The stage matrices are TINY (19x19) — on the MXU each matmul of the
+    chain is one underutilized tile plus fixed per-op overhead, and the
+    block-diagonal packing still measured ~30 ms at B=2048.  With the
+    BATCH on lanes, each 19x19 matmul is 19 broadcast multiply-accumulate
+    VPU ops over (T, d, d, 128) blocks: ~2.5 G MACs total at B=2048 =
+    ~2 ms of VPU time.  Block layout (T, d, d, LANES)."""
+    S = m_ref[:] * (1.0 / 2.0 ** squarings)        # (T, d, d, L)
+    row = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, S.shape, 2)
+    eye = (row == col).astype(S.dtype)
+
+    def mm(A, B):
+        # C[t,a,b,L] = sum_c A[t,a,c,L] * B[t,c,b,L]
+        acc = A[:, :, 0:1, :] * B[:, 0:1, :, :]
+        for c in range(1, d):
+            acc = acc + A[:, :, c:c + 1, :] * B[:, c:c + 1, :, :]
+        return acc
+
+    E = eye + S * (1.0 / order)
+    for k in range(order - 1, 0, -1):
+        E = eye + mm(S, E) * (1.0 / k)
+    for _ in range(squarings):
+        E = mm(E, E)
+    out_ref[:] = E
+
+
+def _expm_lane_batched(M_b, squarings: int, order: int, lanes: int = 128):
+    """M_b (B, T, d, d) -> expm per stage, instances mapped onto lanes."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem_kw = {"memory_space": pltpu.VMEM}
+    except (ImportError, NotImplementedError):
+        vmem_kw = {}
+
+    B, T, d = M_b.shape[0], M_b.shape[1], M_b.shape[-1]
+    # chunk the batch so each pallas result stays well under the scoped
+    # VMEM budget (XLA places custom-call results in VMEM when they fit)
+    chunk = max(lanes, min(1024, B))
+    B_pad = -(-B // chunk) * chunk
+    Mt = jnp.moveaxis(M_b, 0, -1)                   # (T, d, d, B)
+    if B_pad != B:
+        Mt = jnp.concatenate(
+            [Mt, jnp.zeros((T, d, d, B_pad - B), Mt.dtype)], axis=-1)
+    # block over stages too: the chain's live temporaries are ~4x the
+    # block size, so a whole-horizon block at 128 lanes blows the scoped
+    # VMEM budget
+    T_blk = T
+    for cand in (5, 4, 3, 2, 1):
+        if T % cand == 0 and cand * d * d * lanes * 4 * 8 < 24 * 2 ** 20:
+            T_blk = cand
+            break
+    spec = pl.BlockSpec((T_blk, d, d, lanes), lambda t, i: (t, 0, 0, i),
+                        **vmem_kw)
+
+    def run_chunk(Mc):
+        return pl.pallas_call(
+            _ft.partial(_expm_lane_kernel, squarings, order, d),
+            grid=(T // T_blk, chunk // lanes),
+            in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((T, d, d, chunk), Mt.dtype),
+        )(Mc)
+
+    n_chunks = B_pad // chunk
+    if n_chunks == 1:
+        out = run_chunk(Mt)
+    else:
+        chunks = jnp.stack(
+            [Mt[..., i * chunk:(i + 1) * chunk]
+             for i in range(n_chunks)])
+        out_c = jax.lax.map(run_chunk, chunks)
+        out = jnp.concatenate(list(out_c), axis=-1)
+    return jnp.moveaxis(out[..., :B], -1, 0)        # (B, T, d, d)
+
+
 def _make_expm_chain_pallas(squarings: int, order: int):
     """custom_vmap wrapper: the single-instance Pallas chain whose vmap
     rule dispatches to the explicitly-tiled batched kernel.
@@ -378,7 +459,33 @@ def _expm_chain_pallas(big, squarings: int, order: int):
     return _expm_chain_pallas_cached(squarings, order)(big)
 
 
+@functools.lru_cache(maxsize=None)
+def _expm_stages_cached(squarings: int, order: int, precision: str):
+    impl = lambda M: _expm_stage_packed_impl(M, squarings, order,
+                                             precision)
+
+    @jax.custom_batching.custom_vmap
+    def expm_stages(M):
+        return impl(M)
+
+    @expm_stages.def_vmap
+    def _rule(axis_size, in_batched, M_b):
+        # batched callers (the vmapped MPC pre-solve) route to the
+        # lane-batched kernel on TPU — per-instance dispatch of tiny
+        # matmul chains is overhead-bound either way it's expressed
+        if jax.devices()[0].platform == "tpu" and M_b.shape[1] > 1:
+            return _expm_lane_batched(M_b, squarings, order), True
+        return jax.vmap(impl)(M_b), True
+
+    return expm_stages
+
+
 def _expm_stage_packed(M, squarings: int, order: int, precision: str):
+    return _expm_stages_cached(int(squarings), int(order),
+                               str(precision))(M)
+
+
+def _expm_stage_packed_impl(M, squarings: int, order: int, precision: str):
     """expm of a (T, d, d) stack via block-diagonal packing.
 
     A d=19 stage matrix uses <2.3% of a 128x128 MXU pass; packing

@@ -62,11 +62,9 @@ class CoupledLayout:
 
         # Constraint rows, in allocation order.  Each `entry` call registers
         # nonzero positions whose values `assemble` supplies in the SAME
-        # order below.
-        r = lay.add_rows(2 * T)                     # sig >= 0
-        lay.entry(r, self.sig.ravel())
-        r = lay.add_rows(S)                         # sHJI >= 0
-        lay.entry(r, self.sHJI)
+        # order below.  EQUALITY rows are allocated FIRST so the solver's
+        # mixed-precision Pallas mode gets its eq/ineq row split with no
+        # runtime permutation (eq_rows == arange(m_eq)).
         r = lay.add_rows(T)                         # diff(delta) == dd
         eq_rows.append(r)
         lay.entry(r, self.u[1:, 0]); lay.entry(r, self.u[:-1, 0])
@@ -75,10 +73,6 @@ class CoupledLayout:
         eq_rows.append(r)
         lay.entry(r, self.u[1:, 1]); lay.entry(r, self.u[:-1, 1])
         lay.entry(r, self.dF)
-        r = lay.add_rows(N)                         # V_min <= Ux <= V_max
-        lay.entry(r, self.q[:, 1])
-        r = lay.add_rows(N)                         # Fx bounds (merged rows)
-        lay.entry(r, self.u[:, 1])
         r = lay.add_rows(6)                         # q[0] == q_curr
         eq_rows.append(r)
         lay.entry(r, self.q[0])
@@ -90,15 +84,24 @@ class CoupledLayout:
         lay.entry(r[:, :, None], self.q[:S][:, None, :])        # A_t
         lay.entry(r[:, :, None], self.u[:S][:, None, :])        # B_t
         lay.entry(r, self.q[1:S + 1])                           # -I q_{t+1}
-        r = lay.add_rows(S)                         # HJI half-planes
-        lay.entry(r[:, None], self.u[:S])                       # M row
-        lay.entry(r, self.sHJI)                                 # + slack
         r = lay.add_rows(6 * Lg).reshape(Lg, 6)     # FOH dynamics
         eq_rows.append(r.ravel())
         lay.entry(r[:, :, None], self.q[S:S + Lg][:, None, :])  # A_t
         lay.entry(r[:, :, None], self.u[S:S + Lg][:, None, :])  # B0_t
         lay.entry(r[:, :, None], self.u[S + 1:][:, None, :])    # Bf_t
         lay.entry(r, self.q[S + 1:])                            # -I
+        # ---- inequality rows ------------------------------------------
+        r = lay.add_rows(2 * T)                     # sig >= 0
+        lay.entry(r, self.sig.ravel())
+        r = lay.add_rows(S)                         # sHJI >= 0
+        lay.entry(r, self.sHJI)
+        r = lay.add_rows(N)                         # V_min <= Ux <= V_max
+        lay.entry(r, self.q[:, 1])
+        r = lay.add_rows(N)                         # Fx bounds (merged rows)
+        lay.entry(r, self.u[:, 1])
+        r = lay.add_rows(S)                         # HJI half-planes
+        lay.entry(r[:, None], self.u[:S])                       # M row
+        lay.entry(r, self.sHJI)                                 # + slack
         r = lay.add_rows(T)                         # delta bounds on t+1
         lay.entry(r, self.u[1:, 0])
         r = lay.add_rows(4 * T).reshape(T, 4)       # envelope H [Uy,r]-sig
@@ -120,6 +123,7 @@ class CoupledLayout:
         self.lay = lay
         self.n, self.m = lay.n, lay.m
         self.eq_rows = np.concatenate(eq_rows)
+        assert np.array_equal(self.eq_rows, np.arange(self.eq_rows.size))
 
 
 @functools.lru_cache(maxsize=None)
@@ -215,18 +219,18 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
     ones = functools.partial(jnp.ones, dtype=dtype)
     neg1 = lambda shape: -ones(shape)
     values = [
-        ones(2 * T),                                 # sig >= 0
-        ones(S),                                     # sHJI >= 0
         ones(T), neg1(T), neg1(T),                   # delta diff
         ones(T), neg1(T), neg1(T),                   # Fx diff
-        ones(N),                                     # Ux bounds
-        ones(N),                                     # Fx bounds
         ones(6),                                     # q pin
         ones(2),                                     # u pin
         Az, Bz * unorm[None, None, :], neg1((S, 6)),  # ZOH
-        jnp.broadcast_to(data.hji_M * unorm, (S, 2)), ones(S),   # HJI
         Af, B0f * unorm[None, None, :], Bff * unorm[None, None, :],
         neg1((Lg, 6)),                               # FOH
+        ones(2 * T),                                 # sig >= 0
+        ones(S),                                     # sHJI >= 0
+        ones(N),                                     # Ux bounds
+        ones(N),                                     # Fx bounds
+        jnp.broadcast_to(data.hji_M * unorm, (S, 2)), ones(S),   # HJI
         ones(T),                                     # delta bounds
         jnp.broadcast_to(lim.H_veh, (T, 4, 2)), neg1((T, 4)),    # envelope
         ones(T),                                     # dd bounds
@@ -239,15 +243,15 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
 
     big = jnp.asarray(INF, dtype)
     lo = jnp.concatenate([
-        jnp.zeros(2 * T, dtype),                     # sig
-        jnp.zeros(S, dtype),                         # sHJI
         jnp.zeros(T, dtype), jnp.zeros(T, dtype),    # diffs
-        jnp.full(N, ctl.V_min, dtype),               # Ux
-        jnp.full(N, veh.Fx_min / float(u_normalization(veh)[1]), dtype),
         q_curr, u_curr,
         -cz.reshape(-1),                             # ZOH equalities
-        jnp.full(S, -data.hji_b, dtype),             # HJI
         -cf.reshape(-1),                             # FOH equalities
+        jnp.zeros(2 * T, dtype),                     # sig
+        jnp.zeros(S, dtype),                         # sHJI
+        jnp.full(N, ctl.V_min, dtype),               # Ux
+        jnp.full(N, veh.Fx_min / float(u_normalization(veh)[1]), dtype),
+        jnp.full(S, -data.hji_b, dtype),             # HJI
         d_min,                                       # delta bounds
         jnp.full(4 * T, -INF, dtype),                # envelope
         -dd_lim,                                     # dd bounds
@@ -256,14 +260,14 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
           data.edges[1:, 1] + ctl.wall_margin,       # e + sw >= edgeR + m
           ] if ctl.use_walls else []))
     hi = jnp.concatenate([
-        jnp.full(2 * T, big), jnp.full(S, big),
         jnp.zeros(T, dtype), jnp.zeros(T, dtype),
-        jnp.full(N, ctl.V_max, dtype),
-        jnp.concatenate([jnp.full(1, big), Fx_hi]),  # Fx: t=0 unbounded above
         q_curr, u_curr,
         -cz.reshape(-1),
-        jnp.full(S, big),
         -cf.reshape(-1),
+        jnp.full(2 * T, big), jnp.full(S, big),
+        jnp.full(N, ctl.V_max, dtype),
+        jnp.concatenate([jnp.full(1, big), Fx_hi]),  # Fx: t=0 unbounded above
+        jnp.full(S, big),
         d_max,
         (lim.G_veh).reshape(-1),                     # envelope upper
         dd_lim,

@@ -391,16 +391,22 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
     # row space; z/y/E are un-permuted at exit.
     mixed = (opts.pallas_precision in ("mixed", "mixedk6")
              and eq_rows is not None)
+    identity_perm = True
     if mixed:
         m = qp.l.shape[-1]
         eq = np.asarray(eq_rows, np.int64)
-        perm = np.concatenate([eq, np.setdiff1d(np.arange(m), eq)])
-        inv_perm = jnp.asarray(np.argsort(perm))
-        perm = jnp.asarray(perm)
-        rowp = lambda a: a[:, perm]
-        Ab, lb, ub = Ab[:, perm, :], rowp(lb), rowp(ub)
-        rho_base, E, z, y = rowp(rho_base), rowp(E), rowp(z), rowp(y)
         m_eq = int(eq.size)
+        # layouts allocate equality rows first (qp/coupled.py), so the
+        # permutation is usually the identity and all gathers vanish
+        identity_perm = bool(np.array_equal(eq, np.arange(m_eq)))
+        if not identity_perm:
+            perm = np.concatenate([eq, np.setdiff1d(np.arange(m), eq)])
+            inv_perm = jnp.asarray(np.argsort(perm))
+            perm = jnp.asarray(perm)
+            rowp = lambda a: a[:, perm]
+            Ab, lb, ub = Ab[:, perm, :], rowp(lb), rowp(ub)
+            rho_base, E, z, y = (rowp(rho_base), rowp(E), rowp(z),
+                                 rowp(y))
     else:
         m_eq = 0
 
@@ -509,7 +515,7 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
 
     iters = iters_acc.astype(jnp.int32)
     z_u, y_u = z / E, (E * y) / c[:, None]
-    if mixed:
+    if mixed and not identity_perm:
         z_u, y_u = z_u[:, inv_perm], y_u[:, inv_perm]
     return QPSolution(
         x=D * x, y=y_u, z=z_u,
