@@ -211,7 +211,7 @@ def main():
     # full budget (conv >= 0.95 at the default 150).
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
         max_iter=3 * args.solver_iters, check_every=3 * args.solver_iters,
-        eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
+        eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=2,
         factor_method="banded", bf16_bulk_iters=0, pallas_tile=2,
         pallas_precision="mixedk6", pallas_check_inner=10))
 

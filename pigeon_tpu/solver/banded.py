@@ -107,6 +107,165 @@ def _inv_lower_unrolled(L):
 
 
 # ---------------------------------------------------------------------------
+# Block-tridiagonal Cholesky factor (Linv_t, S_t per stage)
+# ---------------------------------------------------------------------------
+
+def _chol_factor_impl(K_diag, K_sub):
+    """Sequential stage scan of unrolled block ops (single instance)."""
+    bw = K_diag.shape[-1]
+    dtype = K_diag.dtype
+
+    def chol_body(Linv_prev, inp):
+        Ktt, Koff = inp
+        S = Koff @ jnp.swapaxes(Linv_prev, -1, -2)       # K_{t,t-1} L^-T
+        D = Ktt - S @ jnp.swapaxes(S, -1, -2)
+        L = _chol_unrolled(D)
+        Linv = _inv_lower_unrolled(L)
+        return Linv, (Linv, S)
+
+    with jax.default_matmul_precision("highest"):
+        _, (Linvs, Ss) = jax.lax.scan(
+            chol_body, jnp.zeros((bw, bw), dtype), (K_diag, K_sub))
+    return Linvs, Ss
+
+
+def _chol_lane_kernel(nb: int, bw: int, Kd_ref, Ks_ref, Linv_out, S_out):
+    """Lane-batched block-tridiagonal Cholesky: instances on the 128-lane
+    axis, every scalar of the unrolled 13-column block Cholesky/inverse a
+    (lanes,)-wide VPU op.  The XLA scan pays XLA-op dispatch for each of
+    the ~500 tiny column operations; in-kernel they are single VPU
+    instructions on VMEM-resident data."""
+    Kd = Kd_ref[:]                       # (nb, bw, bw, L)
+    Ks = Ks_ref[:]
+    L = Kd.shape[-1]
+    dtype = Kd.dtype
+    eps = 1e-12
+
+    def matTmul(A, B):
+        # C[i,j,:] = sum_k A[i,k,:] * B[j,k,:]
+        acc = A[:, 0:1, :] * jnp.swapaxes(B[:, 0:1, :], 0, 1)
+        for k in range(1, bw):
+            acc = acc + A[:, k:k + 1, :] * jnp.swapaxes(
+                B[:, k:k + 1, :], 0, 1)
+        return acc
+
+    Linv_prev = jnp.zeros((bw, bw, L), dtype)
+    for t in range(nb):
+        Ktt = Kd[t]
+        S = matTmul(Ks[t], Linv_prev)
+        D = Ktt - matTmul(S, S)
+        # unrolled Cholesky of D (bw, bw, L)
+        Lm = jnp.zeros((bw, bw, L), dtype)
+        for j in range(bw):
+            if j == 0:
+                d = jnp.sqrt(jnp.maximum(D[0:1, 0:1, :], eps))
+                col = D[1:, 0:1, :] / d
+                Lm = jnp.concatenate(
+                    [jnp.concatenate([d, col], axis=0),
+                     jnp.zeros((bw, bw - 1, L), dtype)], axis=1)
+            else:
+                r = D[j:j + 1, j:j + 1, :] - jnp.sum(
+                    Lm[j:j + 1, :j, :] ** 2, axis=1, keepdims=True)
+                d = jnp.sqrt(jnp.maximum(r, eps))
+                if j + 1 < bw:
+                    col = (D[j + 1:, j:j + 1, :] - jnp.sum(
+                        Lm[j + 1:, :j, :] * Lm[j:j + 1, :j, :],
+                        axis=1, keepdims=True)) / d
+                    newcol = jnp.concatenate(
+                        [jnp.zeros((j, 1, L), dtype), d, col], axis=0)
+                else:
+                    newcol = jnp.concatenate(
+                        [jnp.zeros((j, 1, L), dtype), d], axis=0)
+                parts = [Lm[:, :j, :], newcol]
+                if j + 1 < bw:
+                    parts.append(Lm[:, j + 1:, :])
+                Lm = jnp.concatenate(parts, axis=1)
+        # unrolled inverse of lower-triangular Lm
+        X = jnp.zeros((bw, bw, L), dtype)
+        rows = []
+        for j in range(bw):
+            invd = 1.0 / Lm[j:j + 1, j:j + 1, :]
+            if j == 0:
+                row = jnp.concatenate(
+                    [invd, jnp.zeros((1, bw - 1, L), dtype)], axis=1)
+            else:
+                prev = jnp.concatenate(rows, axis=0)     # (j, bw, L)
+                acc = -jnp.sum(
+                    jnp.swapaxes(Lm[j:j + 1, :j, :], 0, 1) * prev,
+                    axis=0, keepdims=True) * invd        # (1, bw, L)
+                mask = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, bw, 1), 1) < j)
+                row = jnp.where(mask, acc, 0.0)
+                parts = [row[:, :j, :], invd]
+                if j + 1 < bw:
+                    parts.append(jnp.zeros((1, bw - j - 1, L), dtype))
+                row = jnp.concatenate(parts, axis=1)
+            rows.append(row)
+        X = jnp.concatenate(rows, axis=0)
+        Linv_out[t] = X
+        S_out[t] = S
+        Linv_prev = X
+
+
+def _chol_factor_lane_batched(K_diag_b, K_sub_b, lanes: int = 128):
+    """Batched (B, nb, bw, bw) -> (Linvs, Ss), instances on lanes."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem_kw = {"memory_space": pltpu.VMEM}
+    except (ImportError, NotImplementedError):
+        vmem_kw = {}
+
+    B, nb, bw = K_diag_b.shape[0], K_diag_b.shape[1], K_diag_b.shape[-1]
+    B_pad = -(-B // lanes) * lanes
+
+    def to_lane(a):
+        a = jnp.moveaxis(a, 0, -1)                   # (nb, bw, bw, B)
+        if B_pad != B:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (B_pad - B,), a.dtype)],
+                axis=-1)
+        return a
+
+    Kd, Ks = to_lane(K_diag_b), to_lane(K_sub_b)
+    spec = pl.BlockSpec((nb, bw, bw, lanes), lambda i: (0, 0, 0, i),
+                        **vmem_kw)
+    Linvs, Ss = pl.pallas_call(
+        _ft.partial(_chol_lane_kernel, nb, bw),
+        grid=(B_pad // lanes,),
+        in_specs=[spec, spec], out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((nb, bw, bw, B_pad), Kd.dtype),
+                   jax.ShapeDtypeStruct((nb, bw, bw, B_pad), Kd.dtype)),
+    )(Kd, Ks)
+    back = lambda a: jnp.moveaxis(a[..., :B], -1, 0)
+    return back(Linvs), back(Ss)
+
+
+@functools.lru_cache(maxsize=None)
+def _chol_factor_fn():
+    @jax.custom_batching.custom_vmap
+    def chol_factor(K_diag, K_sub):
+        return _chol_factor_impl(K_diag, K_sub)
+
+    @chol_factor.def_vmap
+    def _rule(axis_size, in_batched, K_diag_b, K_sub_b):
+        if jax.devices()[0].platform == "tpu":
+            return _chol_factor_lane_batched(K_diag_b, K_sub_b), \
+                (True, True)
+        return jax.vmap(_chol_factor_impl)(K_diag_b, K_sub_b), \
+            (True, True)
+
+    return chol_factor
+
+
+def _chol_factor(K_diag, K_sub):
+    return _chol_factor_fn()(K_diag, K_sub)
+
+
+# ---------------------------------------------------------------------------
 # Banded K^-1
 # ---------------------------------------------------------------------------
 
@@ -147,18 +306,7 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
     K_sub = K_ext[slots[1:, :, None], slots[:-1, None, :]]  # (nb-1, bw, bw)
     K_sub = jnp.concatenate([jnp.zeros((1, bw, bw), dtype), K_sub])
 
-    # block-tridiagonal Cholesky: scan over stages
-    def chol_body(Linv_prev, inp):
-        Ktt, Koff = inp
-        S = Koff @ jnp.swapaxes(Linv_prev, -1, -2)       # K_{t,t-1} L^-T
-        D = Ktt - S @ jnp.swapaxes(S, -1, -2)
-        L = _chol_unrolled(D)
-        Linv = _inv_lower_unrolled(L)
-        return Linv, (Linv, S)
-
-    with jax.default_matmul_precision("highest"):
-        _, (Linvs, Ss) = jax.lax.scan(
-            chol_body, jnp.zeros((bw, bw), dtype), (K_diag, K_sub))
+    Linvs, Ss = _chol_factor(K_diag, K_sub)
 
     n_perm = nb * bw
     eye_full = jnp.zeros((n_perm, n_perm), dtype)
