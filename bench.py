@@ -59,11 +59,11 @@ def latency_mode(args):
 
     records = []
     for B in args.latency_batches:
-        cfg = M.x1_coupled_config()
+        cfg = M.x1_coupled_config(condensed=True)
         cfg = dataclasses.replace(cfg, solver=SolverOptions(
             max_iter=args.solver_iters, check_every=args.solver_iters,
-            eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=4,
-            factor_method="banded", pallas_tile=min(2, B),
+            eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=2,
+            factor_method="ns", ns_iters=40, pallas_tile=min(2, B),
             pallas_precision="mixedk6", pallas_check_inner=10))
         rng = np.random.default_rng(0)
         k0 = rng.integers(0, 900, B)
@@ -198,21 +198,22 @@ def main():
     # Fixed-iteration solver budget: every batch element runs the same
     # number of ADMM segments -> deterministic latency (the real-time
     # launch configuration; convergence at this budget is checked below).
-    cfg = M.x1_coupled_config()
+    # CONDENSED formulation (qp/condensed.py): states eliminated through
+    # the dynamics — n 193->103 (one MXU tile), no stiff dynamics rows;
+    # mathematically equivalent QP, ~20% faster end-to-end than the
+    # sparse path at the same tolerance.
+    cfg = M.x1_coupled_config(condensed=True)
     backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    # NOTE: bf16 ADMM iterations (bf16_bulk_iters) measured 6x cheaper per
-    # iteration but DIVERGE on this QP family: the rho_eq=1e3*rho equality
-    # rows amplify bf16 rounding of A/K^-1 through the dual update into a
-    # >1 loop gain.  Full fp32 (6-pass MXU) iterations only.
     # Solver config: ONE kernel call of up to 3*solver_iters iterations
     # with in-kernel convergence checks every 10 — each Pallas grid step
     # (pallas_tile instances) exits as soon as its instances converge, so
     # the fleet pays the mean iteration count while stragglers get the
-    # full budget (conv >= 0.95 at the default 150).
+    # full budget.  Dense-P factor via Newton-Schulz (pure 1-tile MXU
+    # matmuls).
     cfg = dataclasses.replace(cfg, solver=SolverOptions(
         max_iter=3 * args.solver_iters, check_every=3 * args.solver_iters,
         eps_abs=1e-3, eps_rel=1e-3, backend=backend, scaling_iters=2,
-        factor_method="banded", bf16_bulk_iters=0, pallas_tile=2,
+        factor_method="ns", ns_iters=40, bf16_bulk_iters=0, pallas_tile=2,
         pallas_precision="mixedk6", pallas_check_inner=10))
 
     tube = trj.tube_from_world(

@@ -43,6 +43,10 @@ class MPCConfig:
     decoupled: DecoupledControlParams = DecoupledControlParams()
     solver: SolverOptions = SolverOptions()
     formulation: str = "coupled"          # "coupled" | "decoupled"
+    # condensed=True eliminates the state variables through the dynamics
+    # (qp/condensed.py): n 193->103 (one MXU tile), m 290->200, no stiff
+    # dynamics equality rows; mathematically equivalent QP.
+    condensed: bool = False
     timed_mode: bool = False              # reference tracking_mode :traj
     hji_eps: float = 0.05                 # reference HJI_eps (Pigeon.jl:67)
     use_hji_policy: bool = False          # "hammer" override flag
@@ -138,7 +142,11 @@ def init_carry(cfg: MPCConfig, dtype=jnp.float32) -> MPCCarry:
     N = hz.N
     nx = 6 if cfg.formulation == "coupled" else 4
     if cfg.formulation == "coupled":
-        L = qp_coupled.get_layout(hz, cfg.coupled.use_walls)
+        if cfg.condensed:
+            from pigeon_tpu.qp import condensed as qp_condensed
+            L = qp_condensed.get_layout(hz, cfg.coupled.use_walls)
+        else:
+            L = qp_coupled.get_layout(hz, cfg.coupled.use_walls)
     else:
         L = qp_decoupled.get_layout(hz)
     return MPCCarry(
@@ -345,11 +353,13 @@ class _PreAux(NamedTuple):
     gradV: jnp.ndarray
     x_rel: jnp.ndarray
     us: jnp.ndarray      # node controls (decoupled control extraction)
+    G: jnp.ndarray = None   # condensed rollout map (state recovery)
+    g: jnp.ndarray = None
 
 
 def _banded_plan_for(cfg: MPCConfig):
     if (cfg.solver.factor_method == "banded"
-            and cfg.formulation == "coupled"):
+            and cfg.formulation == "coupled" and not cfg.condensed):
         from pigeon_tpu.solver.banded import coupled_stage_plan
         return coupled_stage_plan(cfg.hz, cfg.coupled.use_walls)
     return None
@@ -359,7 +369,10 @@ def _eq_rows_for(cfg: MPCConfig):
     """Statically-known equality rows of the QP (the solver's
     mixed-precision Pallas modes keep their matvec tiles at fp32)."""
     if cfg.formulation == "coupled":
-        from pigeon_tpu.qp.coupled import get_layout
+        if cfg.condensed:
+            from pigeon_tpu.qp.condensed import get_layout
+        else:
+            from pigeon_tpu.qp.coupled import get_layout
         return get_layout(cfg.hz, cfg.coupled.use_walls).eq_rows
     return None
 
@@ -404,9 +417,19 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
             edges = None
         data = qp_coupled.CoupledStageData(dt=dt, qs=qs, us=us, ps=ps,
                                            hji_M=M, hji_b=b, edges=edges)
-        qp = qp_coupled.build_qp(veh, cfg.coupled, hz, data,
-                                 lin_method=cfg.lin_method,
-                                 lin_substeps=cfg.lin_substeps)
+        G_map = g_off = None
+        if cfg.condensed:
+            from pigeon_tpu.qp import condensed as qp_condensed
+            cqp = qp_condensed.build_qp(veh, cfg.coupled, hz, data,
+                                        lin_method=cfg.lin_method,
+                                        lin_substeps=cfg.lin_substeps)
+            from pigeon_tpu.solver.admm import QPData
+            qp = QPData(cqp.P, cqp.q, cqp.A, cqp.l, cqp.u)
+            G_map, g_off = cqp.G, cqp.g
+        else:
+            qp = qp_coupled.build_qp(veh, cfg.coupled, hz, data,
+                                     lin_method=cfg.lin_method,
+                                     lin_substeps=cfg.lin_substeps)
     else:
         qs, us, ps = _nodes_decoupled(cfg, tube, q0, u0, ts, dt)
         V_hji = jnp.asarray(jnp.inf, q0.dtype)
@@ -414,6 +437,7 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
         x_rel = hji_mod.relative_state(q0, other_car)
         data = qp_decoupled.DecoupledStageData(dt=dt, qs=qs, us=us, ps=ps)
         qp = qp_decoupled.build_qp(veh, cfg.decoupled, hz, data)
+        G_map = g_off = None
 
     warm_start = QPWarmStart(
         x=jnp.where(carry.solved, carry.warm_x, 0.0),
@@ -421,7 +445,7 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
         z=jnp.where(carry.solved, carry.warm_z, 0.0),
         rho_scale=jnp.where(carry.solved, carry.warm_rho, 1.0))
     aux = _PreAux(ts=ts, s0=s0, e0=e0, V_hji=V_hji, gradV=gradV,
-                  x_rel=x_rel, us=us)
+                  x_rel=x_rel, us=us, G=G_map, g=g_off)
     return qp, warm_start, aux
 
 
@@ -431,10 +455,17 @@ def _post_solve(cfg: MPCConfig, carry: MPCCarry, q0,
     update (reference src/ros_integration.jl:115-150)."""
     veh, hz = cfg.veh, cfg.hz
     if cfg.formulation == "coupled":
-        u2 = qp_coupled.extract_control(veh, hz, sol.x,
-                                        cfg.coupled.use_walls)
-        q_sol, u_sol = qp_coupled.extract_trajectory(hz, sol.x, veh,
-                                                     cfg.coupled.use_walls)
+        if cfg.condensed:
+            from pigeon_tpu.qp import condensed as qp_condensed
+            u2 = qp_condensed.extract_control(veh, hz, sol.x,
+                                              cfg.coupled.use_walls)
+            q_sol, u_sol = qp_condensed.extract_trajectory(
+                hz, sol.x, veh, aux.G, aux.g, cfg.coupled.use_walls)
+        else:
+            u2 = qp_coupled.extract_control(veh, hz, sol.x,
+                                            cfg.coupled.use_walls)
+            q_sol, u_sol = qp_coupled.extract_trajectory(
+                hz, sol.x, veh, cfg.coupled.use_walls)
     else:
         u2 = qp_decoupled.extract_control(hz, sol.x, aux.us)
         L = qp_decoupled.get_layout(hz)

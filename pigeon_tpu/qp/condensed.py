@@ -1,0 +1,327 @@
+"""Condensed coupled tracking QP: states eliminated through the dynamics.
+
+The sparse formulation (`qp/coupled.py`) keeps all N states as decision
+variables tied by 90 stiff dynamics equality rows — the right shape for
+sparse factorization on CPUs, the wrong one for a TPU where per-instance
+problems are tiny and every extra 128-wide tile of the iteration matvecs
+costs MXU passes.  Standard MPC condensing substitutes
+
+    q_t = G_t [q0; u] + g_t,   t = 1..T
+
+(the LTV rollout of the ZOH/FOH affine models), which shrinks the QP from
+n=193, m=290 (pads 256/384) to n=103, m=200 (pads 128/256) and removes
+the rho_eq-stiff dynamics rows entirely:
+
+    variables  q0 (6, pinned) | u (N,2) | sig (T,2) | sHJI (S) | dd (T) | dF (T)
+    equalities diff(delta)-dd, diff(Fx)-dF, q0 pin, u0 pin   (38 rows, FIRST)
+    inequalities sig>=0, sHJI>=0, Ux bounds (dense rows over [q0;u] for
+    t>=1), Fx bounds, HJI half-planes, delta bounds, envelope (dense rows),
+    ddelta rate bounds, optional walls (dense rows)
+
+The state tracking cost Sum_t dt (Q_ds ds^2 + Q_dpsi dpsi^2 + Q_e e^2)
+becomes a DENSE quadratic block over [q0; u] (P = Gsel' W Gsel), so the
+solver's dense-P path is used (`solver/admm.py`): K = P + sigma I +
+A' rho A is dense and factorized by Newton-Schulz — at n_pad=128 the
+whole K^-1 is ONE MXU tile.
+
+The condensed QP is mathematically EQUIVALENT to the sparse one (the
+eliminated rows were equalities), so control-sequence parity with the
+reference carries over unchanged.  Mirrors the same reference semantics
+(`src/coupled_lat_long.jl:197-313,315-368`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pigeon_tpu import discretize as dz
+from pigeon_tpu import dynamics as dyn
+from pigeon_tpu.config import CoupledControlParams, HorizonParams, VehicleParams
+from pigeon_tpu.qp.coupled import CoupledStageData, u_normalization
+from pigeon_tpu.qp.structure import INF, QPLayout
+from pigeon_tpu.solver.admm import QPData
+
+
+class CondensedLayout:
+    """Static plan: variable indices, row allocation (equalities first),
+    and the [q0; u] column map for the dense condensed rows."""
+
+    def __init__(self, hz: HorizonParams, use_walls: bool = False):
+        S, Lg = hz.N_short, hz.N_long
+        N, T = hz.N, hz.N_short + hz.N_long
+        self.hz = hz
+        self.use_walls = use_walls
+        lay = QPLayout()
+        eq_rows = []
+        self.q0 = lay.add_vars((6,))
+        self.u = lay.add_vars((N, 2))
+        self.sig = lay.add_vars((T, 2))
+        self.sHJI = lay.add_vars((S,))
+        self.dd = lay.add_vars((T,))
+        self.dF = lay.add_vars((T,))
+        # [q0; u] column order for the dense rollout rows (contiguous by
+        # construction: q0 then u)
+        self.gcols = np.concatenate([self.q0, self.u.ravel()])
+        nG = self.gcols.size                       # 6 + 2N = 38
+
+        # ---- equality rows (first; no runtime permutation) -----------
+        r = lay.add_rows(T)                        # diff(delta) == dd
+        eq_rows.append(r)
+        lay.entry(r, self.u[1:, 0]); lay.entry(r, self.u[:-1, 0])
+        lay.entry(r, self.dd)
+        r = lay.add_rows(T)                        # diff(Fx) == dF
+        eq_rows.append(r)
+        lay.entry(r, self.u[1:, 1]); lay.entry(r, self.u[:-1, 1])
+        lay.entry(r, self.dF)
+        r = lay.add_rows(6)                        # q0 == q_curr
+        eq_rows.append(r)
+        lay.entry(r, self.q0)
+        r = lay.add_rows(2)                        # u0 == u_curr
+        eq_rows.append(r)
+        lay.entry(r, self.u[0])
+        # ---- inequality rows -----------------------------------------
+        r = lay.add_rows(2 * T)                    # sig >= 0
+        lay.entry(r, self.sig.ravel())
+        r = lay.add_rows(S)                        # sHJI >= 0
+        lay.entry(r, self.sHJI)
+        r = lay.add_rows(1)                        # Ux bound t=0 (on q0)
+        lay.entry(r, self.q0[1])
+        r = lay.add_rows(T).reshape(T, 1)          # Ux bounds t>=1: dense
+        lay.entry(np.broadcast_to(r, (T, nG)), self.gcols[None, :])
+        r = lay.add_rows(N)                        # Fx bounds
+        lay.entry(r, self.u[:, 1])
+        r = lay.add_rows(S)                        # HJI half-planes
+        lay.entry(r[:, None], self.u[:S])
+        lay.entry(r, self.sHJI)
+        r = lay.add_rows(T)                        # delta bounds t>=1
+        lay.entry(r, self.u[1:, 0])
+        r = lay.add_rows(4 * T).reshape(T, 4)      # envelope: dense rows
+        lay.entry(np.broadcast_to(r[:, :, None], (T, 4, nG)),
+                  self.gcols[None, None, :])
+        lay.entry(r, self.sig[:, [0, 0, 1, 1]])    # -slacks
+        r = lay.add_rows(T)                        # ddelta rate bounds
+        lay.entry(r, self.dd)
+        if use_walls:
+            self.sw = lay.add_vars((T,))
+            r = lay.add_rows(T)                    # sw >= 0
+            lay.entry(r, self.sw)
+            r = lay.add_rows(T).reshape(T, 1)      # e - sw <= edgeL - m
+            lay.entry(np.broadcast_to(r, (T, nG)), self.gcols[None, :])
+            lay.entry(r[:, 0], self.sw)
+            r = lay.add_rows(T).reshape(T, 1)      # e + sw >= edgeR + m
+            lay.entry(np.broadcast_to(r, (T, nG)), self.gcols[None, :])
+            lay.entry(r[:, 0], self.sw)
+        lay.finalize()
+        self.lay = lay
+        self.n, self.m = lay.n, lay.m
+        self.eq_rows = np.concatenate(eq_rows)
+        assert np.array_equal(self.eq_rows, np.arange(self.eq_rows.size))
+
+
+@functools.lru_cache(maxsize=None)
+def get_layout(hz: HorizonParams, use_walls: bool = False
+               ) -> CondensedLayout:
+    return CondensedLayout(hz, use_walls)
+
+
+class CondensedQP(NamedTuple):
+    """Dense-P QP + the rollout map for state recovery."""
+
+    P: jnp.ndarray         # (n, n) dense Hessian (1/2 x'Px convention)
+    q: jnp.ndarray         # (n,)
+    A: jnp.ndarray         # (m, n)
+    l: jnp.ndarray         # (m,)
+    u: jnp.ndarray         # (m,)
+    G: jnp.ndarray         # (T, 6, 6+2N) state rollout map over [q0; u]
+    g: jnp.ndarray         # (T, 6) rollout offsets
+
+
+def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
+             hz: HorizonParams, data: CoupledStageData,
+             lin_method: str = "expm", lin_substeps: int = 1
+             ) -> CondensedQP:
+    """Linearize along the horizon, roll the LTV models into the dense
+    [q0; u] map, and assemble the condensed QP.  Same linearization
+    semantics as `qp/coupled.build_qp` (reference
+    `src/coupled_lat_long.jl:315-368`)."""
+    S, Lg, N = hz.N_short, hz.N_long, hz.N
+    T = S + Lg
+    L = get_layout(hz, ctl.use_walls)
+    dt, qs, us, ps = data.dt, data.qs, data.us, data.ps
+    dtype = qs.dtype
+    unorm = jnp.asarray(u_normalization(veh), dtype)
+    nG = 6 + 2 * N
+
+    def f(q, ur):
+        return dyn.vehicle_ode(veh, "tracking", q, ur[:2], ur[2:])
+
+    ur = jnp.concatenate([us, ps], axis=-1)
+
+    if lin_method == "expm":
+        A_all, B0_all, Bf_all, c_all = dz.linearize_horizon_fused(
+            f, qs, ur, dt, S, 2, squarings=7, order=6, precision="high")
+    else:
+        Az, Bz, cz = jax.vmap(
+            lambda q, u, h: dz.linearize_zoh(f, q, u, h, 2,
+                                             substeps=lin_substeps))(
+            qs[:S], ur[:S], dt[:S])
+        Af, B0f, Bff, cf = jax.vmap(
+            lambda q, u0, uf, h: dz.linearize_foh(f, q, u0, uf, h, 2,
+                                                  substeps=lin_substeps))(
+            qs[S:T], ur[S:T], ur[S + 1:N], dt[S:T])
+        A_all = jnp.concatenate([Az, Af])
+        B0_all = jnp.concatenate([Bz, B0f])
+        Bf_all = jnp.concatenate([jnp.zeros((S, 6, 2), dtype), Bff])
+        c_all = jnp.concatenate([cz, cf])
+
+    B0n = B0_all * unorm[None, None, :]
+    Bfn = Bf_all * unorm[None, None, :]
+
+    # ---- rollout map: q_{t+1} = G[t] [q0; u] + g[t] -------------------
+    Gp = jnp.concatenate(
+        [jnp.eye(6, dtype=dtype), jnp.zeros((6, 2 * N), dtype)], axis=1)
+    gp = jnp.zeros(6, dtype)
+    G_list, g_list = [], []
+    for t in range(T):                           # static unroll
+        Gn = A_all[t] @ Gp
+        c0 = 6 + 2 * t
+        Gn = Gn.at[:, c0:c0 + 2].add(B0n[t])
+        Gn = Gn.at[:, c0 + 2:c0 + 4].add(Bfn[t])
+        gn = A_all[t] @ gp + c_all[t]
+        G_list.append(Gn)
+        g_list.append(gn)
+        Gp, gp = Gn, gn
+    G = jnp.stack(G_list)                        # (T, 6, nG)
+    g = jnp.stack(g_list)                        # (T, 6)
+
+    # per-stage envelope + bounds at the t+1 NODE states (reference
+    # :356-366 evaluates these at the linearization nodes)
+    Ux_t = qs[1:, 1]
+    Fxf_t, Fxr_t = dyn.longitudinal_split(veh, us[1:, 1])
+    lim = dyn.stable_limits(veh, Ux_t, Fxf_t, Fxr_t)
+    d_min = jnp.maximum(lim.delta_min, -veh.delta_max) / unorm[0]
+    d_max = jnp.minimum(lim.delta_max, veh.delta_max) / unorm[0]
+    Fx_hi = jnp.minimum(veh.Px_max / Ux_t, veh.Fx_max) / unorm[1]
+    dd_lim = ctl.delta_dot_max * dt / unorm[0]
+
+    q_curr = qs[0]
+    u_curr = us[0] / unorm
+
+    H_veh = jnp.broadcast_to(lim.H_veh, (T, 4, 2)).astype(dtype)
+    Henv = jnp.einsum("tij,tjk->tik", H_veh, G[:, 2:4, :])   # (T, 4, nG)
+    Henv_off = jnp.einsum("tij,tj->ti", H_veh, g[:, 2:4])    # (T, 4)
+
+    ones = functools.partial(jnp.ones, dtype=dtype)
+    neg1 = lambda shape: -ones(shape)
+    values = [
+        ones(T), neg1(T), neg1(T),               # delta diff
+        ones(T), neg1(T), neg1(T),               # Fx diff
+        ones(6),                                 # q0 pin
+        ones(2),                                 # u0 pin
+        ones(2 * T),                             # sig >= 0
+        ones(S),                                 # sHJI >= 0
+        ones(1),                                 # Ux t=0
+        G[:, 1, :],                              # Ux t>=1 (dense)
+        ones(N),                                 # Fx bounds
+        jnp.broadcast_to(data.hji_M * unorm, (S, 2)), ones(S),   # HJI
+        ones(T),                                 # delta bounds
+        Henv, neg1((T, 4)),                      # envelope (dense)
+        ones(T),                                 # dd bounds
+    ]
+    if ctl.use_walls:
+        values += [ones(T),                      # sw >= 0
+                   G[:, 5, :], neg1(T),          # e - sw
+                   G[:, 5, :], ones(T)]          # e + sw
+    A = L.lay.assemble_A(values)
+
+    big = jnp.asarray(INF, dtype)
+    Fx_lo = jnp.full(N, veh.Fx_min / float(u_normalization(veh)[1]),
+                     dtype)
+    lo = jnp.concatenate([
+        jnp.zeros(T, dtype), jnp.zeros(T, dtype),  # diffs
+        q_curr, u_curr,                            # pins
+        jnp.zeros(2 * T, dtype),                   # sig
+        jnp.zeros(S, dtype),                       # sHJI
+        jnp.full(1, ctl.V_min, dtype),             # Ux t=0
+        ctl.V_min - g[:, 1],                       # Ux t>=1
+        Fx_lo,
+        jnp.full(S, -data.hji_b, dtype),           # HJI
+        d_min,
+        jnp.full(4 * T, -INF, dtype),              # envelope
+        -dd_lim,
+    ] + ([jnp.zeros(T, dtype),
+          jnp.full(T, -INF, dtype),
+          data.edges[1:, 1] + ctl.wall_margin - g[:, 5],
+          ] if ctl.use_walls else []))
+    hi = jnp.concatenate([
+        jnp.zeros(T, dtype), jnp.zeros(T, dtype),
+        q_curr, u_curr,
+        jnp.full(2 * T, big), jnp.full(S, big),
+        jnp.full(1, ctl.V_max, dtype),
+        ctl.V_max - g[:, 1],
+        jnp.concatenate([jnp.full(1, big), Fx_hi]),
+        jnp.full(S, big),
+        d_max,
+        (lim.G_veh - Henv_off).reshape(-1),        # envelope upper
+        dd_lim,
+    ] + ([jnp.full(T, big),
+          data.edges[1:, 0] - ctl.wall_margin - g[:, 5],
+          jnp.full(T, big),
+          ] if ctl.use_walls else []))
+
+    # ---- objective ----------------------------------------------------
+    # state tracking cost folded through the rollout: dense block over
+    # [q0; u] (Parametron x'Qx convention -> 1/2 x'Px needs P = 2Q)
+    Wst = 2.0 * dt[:, None] * jnp.stack(
+        [jnp.full_like(dt, ctl.Q_ds), jnp.full_like(dt, ctl.Q_dpsi),
+         jnp.full_like(dt, ctl.Q_e)], axis=-1)     # (T, 3)
+    Gsel = G[:, jnp.array([0, 4, 5]), :]           # (T, 3, nG)
+    gsel = g[:, jnp.array([0, 4, 5])]              # (T, 3)
+    Pblock = jnp.einsum("tkn,tk,tkm->nm", Gsel, Wst, Gsel)
+    qblock = jnp.einsum("tkn,tk,tk->n", Gsel, Wst, gsel)
+
+    gc = jnp.asarray(L.gcols)
+    P = jnp.zeros((L.n, L.n), dtype)
+    P = P.at[gc[:, None], gc[None, :]].add(Pblock)
+    diag = jnp.zeros(L.n, dtype)
+    diag = diag.at[L.u[1:, 0]].set(2.0 * ctl.R_delta * dt)
+    diag = diag.at[L.u[1:, 1]].set(2.0 * ctl.R_Fx * dt)
+    diag = diag.at[L.dd].set(2.0 * ctl.R_ddelta / dt)
+    diag = diag.at[L.dF].set(2.0 * ctl.R_dFx / dt)
+    P = P + jnp.diag(diag)
+    qlin = jnp.zeros(L.n, dtype)
+    qlin = qlin.at[gc].add(qblock)
+    qlin = qlin.at[L.sig[:, 0]].add(ctl.W_beta * dt)
+    qlin = qlin.at[L.sig[:, 1]].add(ctl.W_r * dt)
+    w_hji = jnp.where(jnp.arange(S) < ctl.N_HJI, ctl.W_HJI,
+                      0.0).astype(dtype)
+    qlin = qlin.at[L.sHJI].add(w_hji)
+    if ctl.use_walls:
+        qlin = qlin.at[L.sw].add(ctl.W_wall * dt)
+
+    return CondensedQP(P=P, q=qlin, A=A, l=lo, u=hi, G=G, g=g)
+
+
+def extract_control(veh: VehicleParams, hz: HorizonParams, x: jnp.ndarray,
+                    use_walls: bool = False):
+    """Next physical control (reference `get_next_control`)."""
+    L = get_layout(hz, use_walls)
+    unorm = jnp.asarray(u_normalization(veh), x.dtype)
+    return x[L.u[1]] * unorm
+
+
+def extract_trajectory(hz: HorizonParams, x: jnp.ndarray,
+                       veh: VehicleParams, G, g, use_walls: bool = False):
+    """Full (q, u) solution for warm-start resampling: states recovered
+    through the rollout map q_{t+1} = G_t [q0; u] + g_t."""
+    L = get_layout(hz, use_walls)
+    unorm = jnp.asarray(u_normalization(veh), x.dtype)
+    xg = x[jnp.asarray(L.gcols)]
+    q_tail = jnp.einsum("tij,j->ti", G, xg) + g        # (T, 6)
+    q_sol = jnp.concatenate([x[L.q0][None], q_tail])   # (N, 6)
+    return q_sol, x[L.u] * unorm

@@ -40,9 +40,15 @@ from pigeon_tpu.config import SolverOptions
 
 
 class QPData(NamedTuple):
-    """One QP in canonical form; P is the diagonal of the cost Hessian."""
+    """One QP in canonical form.
 
-    P_diag: jnp.ndarray  # (n,)
+    P_diag is the cost Hessian: a (n,) DIAGONAL for the sparse MPC
+    formulations (all objective terms per-variable quadratics), or a
+    full (n, n) DENSE matrix for the condensed formulation (the state
+    cost folded through the rollout map; `qp/condensed.py`).  The solver
+    branches on ndim."""
+
+    P_diag: jnp.ndarray  # (n,) diagonal | (n, n) dense
     q: jnp.ndarray       # (n,)
     A: jnp.ndarray       # (m, n)
     l: jnp.ndarray       # (m,)
@@ -90,6 +96,7 @@ def _ruiz(qp: QPData, iters: int):
     P, q, A, l, u = qp
     n = q.shape[-1]
     m = l.shape[-1]
+    dense_P = P.ndim == 2
     D = jnp.ones(n, q.dtype)
     E = jnp.ones(m, q.dtype)
     c = jnp.asarray(1.0, q.dtype)
@@ -97,8 +104,10 @@ def _ruiz(qp: QPData, iters: int):
     # |A| computed once; per-sweep row/col maxima of the scaled matrix
     # E|A|D are fused multiply-reductions (no (m, n) intermediate per
     # sweep — the scaled matrix is materialized exactly once, at the end).
+    # For dense P the scaling heuristic uses its DIAGONAL (Ruiz is a
+    # heuristic; the full scaled P is materialized at the end).
     absA = jnp.abs(A)
-    absP = jnp.abs(P)
+    absP = (jnp.max(jnp.abs(P), axis=-1) if dense_P else jnp.abs(P))
     absq = jnp.abs(q)
     for _ in range(iters):
         Ps = absP * D * D * c                   # |diagonal| of scaled P
@@ -111,7 +120,8 @@ def _ruiz(qp: QPData, iters: int):
         qs = c * D * absq
         g = jnp.maximum(jnp.mean(Ps), jnp.max(qs))
         c = c / jnp.maximum(g, 1.0)
-    Pb = P * D * D * c
+    Pb = (c * (D[:, None] * P * D[None, :]) if dense_P
+          else P * D * D * c)
     qb = c * D * q
     Ab = (E[:, None] * A) * D[None, :]
     lb = E * l
@@ -141,13 +151,17 @@ def _factor_inv(Pb, Ab, rho_vec, sigma, opts=None, banded_plan=None):
       the fixed count covers condition numbers up to ~1e6 after Ruiz.
     """
     method = getattr(opts, "factor_method", "chol") if opts else "chol"
-    if method == "banded" and banded_plan is not None:
+    if method == "banded" and banded_plan is not None and Pb.ndim == 1:
         from pigeon_tpu.solver.banded import factor_inv_banded
         slots, n_, bw, nb = banded_plan
         return factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n_, bw, nb,
                                  tp_axis=getattr(opts, "tp_axis", None))
     K = (Ab.T * rho_vec[None, :]) @ Ab
-    K = K + jnp.diag(Pb + sigma)
+    if Pb.ndim == 2:
+        n0 = Pb.shape[-1]
+        K = K + Pb + sigma * jnp.eye(n0, dtype=Pb.dtype)
+    else:
+        K = K + jnp.diag(Pb + sigma)
     n = Pb.shape[-1]
     if method == "ns":
         eye = jnp.eye(n, dtype=Pb.dtype)
@@ -219,7 +233,8 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
         z_u = z / E
         y_u = (E * y) / c
         Ax = qp.A @ x_u
-        Px = qp.P_diag * x_u
+        Px = (qp.P_diag @ x_u if qp.P_diag.ndim == 2
+              else qp.P_diag * x_u)
         Aty = qp.A.T @ y_u
         r_prim = jnp.max(jnp.abs(Ax - z_u))
         r_dual = jnp.max(jnp.abs(Px + qp.q + Aty))
@@ -360,15 +375,25 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
 
     dtype = qp.q.dtype
     B = qp.q.shape[0]
+    dense_P = qp.P_diag.ndim == 3
     interpret = jax.devices()[0].platform != "tpu"
     if opts.scaling_iters > 0:
         # in-VMEM Ruiz kernel: one HBM round trip instead of ~9 whole-
-        # batch passes (see solver/pallas_ruiz.py)
+        # batch passes (see solver/pallas_ruiz.py).  Dense P: the kernel
+        # scales from the DIAGONAL (Ruiz is a heuristic); the full scaled
+        # P is materialized here.
         from pigeon_tpu.solver.pallas_ruiz import ruiz_batched
+        # dense P: scale from the ROW MAX of |P| (the diagonal alone
+        # underestimates the condensed G'WG block's scale)
+        P_for_scale = (jnp.max(jnp.abs(qp.P_diag), axis=-1)
+                       if dense_P else qp.P_diag)
         Pb, qb, Ab, lb, ub, D, E, c = ruiz_batched(
-            qp.P_diag, qp.q, qp.A, qp.l, qp.u,
+            P_for_scale, qp.q, qp.A, qp.l, qp.u,
             iters=opts.scaling_iters, tile=opts.pallas_tile,
             interpret=interpret)
+        if dense_P:
+            Pb = (c[:, None, None] * qp.P_diag
+                  * D[:, :, None] * D[:, None, :])
     else:
         Pb, qb, Ab, lb, ub = qp
         D, E, c = (jnp.ones_like(qp.q), jnp.ones_like(qp.l),
@@ -425,7 +450,7 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
             float(opts.sigma), float(opts.alpha),
             tile=opts.pallas_tile, bf16=bf16, interpret=interpret,
             precision=getattr(opts, "pallas_precision", "highest"),
-            scalings=scalings, m_eq=m_eq,
+            scalings=scalings, m_eq=m_eq, dense_P=dense_P,
             check=getattr(opts, "pallas_check_inner", 0),
             eps_abs=float(opts.eps_abs), eps_rel=float(opts.eps_rel))
         return (xo.astype(dtype), zo.astype(dtype), yo.astype(dtype),

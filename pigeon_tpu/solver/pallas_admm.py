@@ -37,7 +37,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
             m_eq_pad: int, check: int, eps_abs: float, eps_rel: float,
-            *refs):
+            dense_P: bool, *refs):
     """One grid step processes TILE instances resident in VMEM.
 
     All matvecs are expressed as v^T M with the matrix on the RHS
@@ -185,8 +185,11 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
         aty = matA(y)                                   # A_bar^T y_bar
         Ax_u = ax * invE
         z_u = z * invE
-        dual_vec = PuD_ref[:] * x + qu_ref[:] + aty * invDc_ref[:]
-        Px_u = PuD_ref[:] * x
+        # P_u x_u: elementwise for diagonal P, one 6-pass matvec against
+        # the row-scaled symmetric P for the dense (condensed) case
+        Px_u = (_dot6(x, PuD_ref[:]) if dense_P
+                else PuD_ref[:] * x)
+        dual_vec = Px_u + qu_ref[:] + aty * invDc_ref[:]
         Aty_u = aty * invDc_ref[:]
         stat = lambda v: jnp.max(jnp.abs(v), axis=-1)   # (TILE, 1)
         z8 = jnp.zeros_like(amax_qu)
@@ -244,13 +247,15 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
 @functools.partial(tpu_jit, static_argnames=("n_iters", "sigma", "alpha",
                                              "tile", "interpret", "bf16",
                                              "precision", "m_eq", "check",
-                                             "eps_abs", "eps_rel"))
+                                             "eps_abs", "eps_rel",
+                                             "dense_P"))
 def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
                     n_iters: int, sigma: float, alpha: float,
                     tile: int = 1, interpret: bool = False,
                     bf16: bool = False, precision: str = "highest",
                     scalings=None, m_eq: int = 0, check: int = 0,
-                    eps_abs: float = 1e-3, eps_rel: float = 1e-3):
+                    eps_abs: float = 1e-3, eps_rel: float = 1e-3,
+                    dense_P: bool = False):
     """Run `n_iters` ADMM iterations for a batch of QPs entirely in VMEM.
 
     Inputs are the *scaled* problem quantities (post-Ruiz), batched on the
@@ -299,7 +304,12 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
         Pu, qu = jnp.zeros_like(q), q
     else:
         D, E, c, Pu, qu = scalings
-    PuD = Pu * D
+    if dense_P:
+        # symmetric P: the row-vector matvec x_bar @ (D_rows * P) equals
+        # P (D x_bar) = P_u x_u
+        PuD = D[:, :, None] * Pu
+    else:
+        PuD = Pu * D
     invDc = 1.0 / (D * c[:, None])
 
     def pad(arr, shape, fill=0.0, dtype=f32):
@@ -354,7 +364,8 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     zp = vec(padm(z0))
     yp = vec(padm(y0))
     Ep = vec(padm(E, fill=1.0))                    # 1.0: no inf in 1/E pad
-    PuDp = vec(pad(PuD, (B_pad, n_pad)))
+    PuDp = (pad(PuD, (B_pad, n_pad, n_pad)) if dense_P
+            else vec(pad(PuD, (B_pad, n_pad))))
     qup = vec(pad(qu, (B_pad, n_pad)))
     invDcp = vec(pad(invDc, (B_pad, n_pad)))
 
@@ -385,14 +396,15 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     out = pl.pallas_call(
         functools.partial(_kernel, n_iters, float(sigma), float(alpha),
                           mode, m_eq_pad, int(check), float(eps_abs),
-                          float(eps_rel)),
+                          float(eps_rel), bool(dense_P)),
         grid=grid,
         in_specs=mat_specs + [
             bspec(1, n_pad),
             bspec(1, m_pad), bspec(1, m_pad), bspec(1, m_pad),
             bspec(1, n_pad), bspec(1, m_pad), bspec(1, m_pad),
-            bspec(1, m_pad), bspec(1, n_pad), bspec(1, n_pad),
-            bspec(1, n_pad),
+            bspec(1, m_pad),
+            (bspec(n_pad, n_pad) if dense_P else bspec(1, n_pad)),
+            bspec(1, n_pad), bspec(1, n_pad),
         ],
         out_specs=(bspec(1, n_pad), bspec(1, m_pad), bspec(1, m_pad),
                    bspec(1, 8)),

@@ -35,7 +35,9 @@ dtype = jnp.float32
 
 
 def run(tag, **solver_kw):
-    cfg = M.x1_coupled_config()
+    cfg_kw = {k[4:]: solver_kw.pop(k) for k in list(solver_kw)
+              if k.startswith("cfg_")}
+    cfg = M.x1_coupled_config(**cfg_kw)
     base = dict(max_iter=100, check_every=50, eps_abs=1e-3, eps_rel=1e-3,
                 backend="pallas", scaling_iters=4, factor_method="banded",
                 bf16_bulk_iters=0, pallas_tile=4)
