@@ -149,8 +149,8 @@ def latency_mode(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--solver-iters", type=int, default=50,
                     help="ADMM budget unit: throughput mode runs up to\n"
