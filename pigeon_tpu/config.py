@@ -210,6 +210,10 @@ class SolverOptions:
     # (block-tridiagonal stage factorization; needs a banded_plan).
     factor_method: str = "chol"
     ns_iters: int = 30
+    # bf16 bulk phase of the Newton-Schulz factor — measured NOT to
+    # converge on the condensed KKT family (early NS progress per
+    # iteration is below bf16 noise); keep 0
+    ns_bf16_iters: int = 0
     # Pallas batched-path tuning: instances per VMEM tile (4 fits the
     # coupled QP's ~3 MB/instance working set in 16 MB VMEM with double
     # buffering; 8 overflows), and the bf16 bulk phase of the precision

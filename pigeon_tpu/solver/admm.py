@@ -167,7 +167,25 @@ def _factor_inv(Pb, Ab, rho_vec, sigma, opts=None, banded_plan=None):
         eye = jnp.eye(n, dtype=Pb.dtype)
         norm_inf = jnp.max(jnp.sum(jnp.abs(K), axis=-1))
         X = K / (norm_inf * norm_inf)
-        for _ in range(getattr(opts, "ns_iters", 30)):
+        total = getattr(opts, "ns_iters", 30)
+        bulk = min(getattr(opts, "ns_bf16_iters", 0), total)
+        if bulk > 0:
+            # EXPERIMENTAL — measured NOT to work on the condensed KKT
+            # family (converged_frac 0.0): Newton-Schulz's early phase
+            # advances the residual by ~1/kappa^2 per iteration, SMALLER
+            # than bf16 matmul noise, so the bulk phase never leaves the
+            # starting region and the fp32 tail cannot recover.  Kept
+            # (default off) as a record of the experiment; use full-fp32
+            # ns_iters.
+            Kb = K.astype(jnp.bfloat16)
+            Xb = X.astype(jnp.bfloat16)
+            eyeb = eye.astype(jnp.bfloat16)
+            with jax.default_matmul_precision("default"):
+                for _ in range(bulk):
+                    Xb = (Xb @ (2.0 * eyeb - (Kb @ Xb).astype(
+                        jnp.bfloat16))).astype(jnp.bfloat16)
+            X = Xb.astype(Pb.dtype)
+        for _ in range(total - bulk):
             X = X @ (2.0 * eye - K @ X)
         return 0.5 * (X + X.T)
     L = jnp.linalg.cholesky(K)

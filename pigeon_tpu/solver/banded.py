@@ -231,15 +231,40 @@ def _chol_factor_lane_batched(K_diag_b, K_sub_b, lanes: int = 128):
         return a
 
     Kd, Ks = to_lane(K_diag_b), to_lane(K_sub_b)
-    spec = pl.BlockSpec((nb, bw, bw, lanes), lambda i: (0, 0, 0, i),
-                        **vmem_kw)
-    Linvs, Ss = pl.pallas_call(
-        _ft.partial(_chol_lane_kernel, nb, bw),
-        grid=(B_pad // lanes,),
-        in_specs=[spec, spec], out_specs=(spec, spec),
-        out_shape=(jax.ShapeDtypeStruct((nb, bw, bw, B_pad), Kd.dtype),
-                   jax.ShapeDtypeStruct((nb, bw, bw, B_pad), Kd.dtype)),
-    )(Kd, Ks)
+    if lanes == 128:
+        spec = pl.BlockSpec((nb, bw, bw, lanes), lambda i: (0, 0, 0, i),
+                            **vmem_kw)
+        Linvs, Ss = pl.pallas_call(
+            _ft.partial(_chol_lane_kernel, nb, bw),
+            grid=(B_pad // lanes,),
+            in_specs=[spec, spec], out_specs=(spec, spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, bw, bw, B_pad), Kd.dtype),
+                jax.ShapeDtypeStruct((nb, bw, bw, B_pad), Kd.dtype)),
+        )(Kd, Ks)
+    else:
+        # lanes < 128 (big bw blocks, e.g. the condensed dense 103-wide
+        # factor): Mosaic requires the block's lane dim to equal the
+        # array's, so run lane-sized chunks under lax.map
+        spec = pl.BlockSpec((nb, bw, bw, lanes),
+                            lambda: (0, 0, 0, 0), **vmem_kw)
+
+        def run_chunk(args):
+            Kd_c, Ks_c = args
+            return pl.pallas_call(
+                _ft.partial(_chol_lane_kernel, nb, bw),
+                in_specs=[spec, spec], out_specs=(spec, spec),
+                out_shape=(
+                    jax.ShapeDtypeStruct((nb, bw, bw, lanes), Kd.dtype),
+                    jax.ShapeDtypeStruct((nb, bw, bw, lanes), Kd.dtype)),
+            )(Kd_c, Ks_c)
+
+        n_chunks = B_pad // lanes
+        split = lambda a: jnp.stack(
+            [a[..., i * lanes:(i + 1) * lanes] for i in range(n_chunks)])
+        Linv_c, Ss_c = jax.lax.map(run_chunk, (split(Kd), split(Ks)))
+        join = lambda a: jnp.concatenate(list(a), axis=-1)
+        Linvs, Ss = join(Linv_c), join(Ss_c)
     back = lambda a: jnp.moveaxis(a[..., :B], -1, 0)
     return back(Linvs), back(Ss)
 

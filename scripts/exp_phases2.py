@@ -30,10 +30,12 @@ tube = trj.tube_from_world(
 cache = H.inactive_cache()
 dtype = jnp.float32
 
-cfg = M.x1_coupled_config()
+CONDENSED = len(sys.argv) > 2 and sys.argv[2] == "condensed"
+cfg = M.x1_coupled_config(condensed=CONDENSED)
 cfg = dataclasses.replace(cfg, solver=SolverOptions(
     max_iter=150, check_every=150, eps_abs=1e-3, eps_rel=1e-3,
-    backend="pallas", scaling_iters=4, factor_method="banded",
+    backend="pallas", scaling_iters=2,
+    factor_method=("ns" if CONDENSED else "banded"), ns_iters=40,
     pallas_tile=2, pallas_precision="mixedk6", pallas_check_inner=10))
 
 rng = np.random.default_rng(0)
@@ -122,6 +124,10 @@ def tunnel_floor(x):
 timeit("tunnel_floor", tunnel_floor,
        lambda i: (jnp.float32(i),))
 
+
+if CONDENSED:
+    import sys as _sys
+    _sys.exit(0)
 
 # --- solve internals -------------------------------------------------------
 from pigeon_tpu.solver import admm as _admm
