@@ -138,3 +138,22 @@ def test_condensed_pallas_batched_stats_truthful():
                                    rtol=1e-2, atol=2e-4)
         np.testing.assert_allclose(float(sol.dual_res[b]), rd,
                                    rtol=1e-2, atol=2e-4)
+
+
+def test_condensed_walls_closed_loop():
+    """Condensed formulation with wall/edge soft bounds enabled (the
+    reference both_walls configuration): builds, solves, tracks."""
+    from pigeon_tpu.config import CoupledControlParams
+
+    tube, cache, _, _, _, _ = _setup()
+    q0 = jnp.asarray(
+        [float(tube.E[0]), float(tube.N[0]), float(tube.psi[0]),
+         float(tube.V[0]), 0.0, 0.0])
+    cfg = M.x1_coupled_config(
+        condensed=True, coupled=CoupledControlParams(use_walls=True))
+    cfg = dataclasses.replace(cfg, solver=dataclasses.replace(
+        cfg.solver, factor_method="chol"))
+    logs = M.simulate(cfg, tube, cache, q0, n_steps=80)
+    e = np.asarray(logs.diag.e)
+    assert np.abs(e).max() < 0.05
+    assert np.all(np.isfinite(np.asarray(logs.u)))
