@@ -154,8 +154,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--solver-iters", type=int, default=50,
                     help="ADMM budget unit: throughput mode runs up to\n"
-                         "3x this with in-kernel early exit; latency mode\n"
-                         "runs exactly this many")
+                         "3x this, latency mode up to 1x; both use\n"
+                         "in-kernel early exit (checks every 10 iters),\n"
+                         "so executed counts are data-dependent")
     ap.add_argument("--mode", default="throughput",
                     choices=["throughput", "latency"])
     ap.add_argument("--latency-batches", type=int, nargs="*",

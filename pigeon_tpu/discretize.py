@@ -372,8 +372,10 @@ def _expm_lane_batched(M_b, squarings: int, order: int, lanes: int = 128):
 
     B, T, d = M_b.shape[0], M_b.shape[1], M_b.shape[-1]
     # chunk the batch so each pallas result stays well under the scoped
-    # VMEM budget (XLA places custom-call results in VMEM when they fit)
-    chunk = max(lanes, min(1024, B))
+    # VMEM budget (XLA places custom-call results in VMEM when they fit).
+    # chunk MUST be a lane multiple: the grid dimension chunk//lanes
+    # truncates, and a ragged tail would leave its lanes unwritten.
+    chunk = -(-max(lanes, min(1024, B)) // lanes) * lanes
     B_pad = -(-B // chunk) * chunk
     Mt = jnp.moveaxis(M_b, 0, -1)                   # (T, d, d, B)
     if B_pad != B:

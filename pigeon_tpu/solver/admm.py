@@ -418,9 +418,23 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
                    jnp.ones((B,), dtype))
     sigma = jnp.asarray(opts.sigma, dtype)
 
-    is_eq = (qp.u - qp.l) < 1e-10
+    if (opts.pallas_precision in ("mixed", "mixedk6")
+            and eq_rows is not None):
+        # Mixed-precision modes split matvec arithmetic by the STATIC
+        # eq_rows set; the stiff rho_eq scaling must use the same mask —
+        # a runtime row with l == u outside eq_rows (e.g. delta bounds
+        # collapsing when stable_limits saturate) would otherwise get
+        # rho_eq stiffness while its matvec tile runs bf16x3, exactly the
+        # noise-amplification mechanism the row split exists to prevent.
+        m = qp.l.shape[-1]
+        eq_mask = np.zeros(m, bool)
+        eq_mask[np.asarray(eq_rows)] = True
+        is_eq = jnp.asarray(eq_mask)                          # (m,)
+    else:
+        is_eq = (qp.u - qp.l) < 1e-10                         # (B, m)
     rho_base = jnp.where(is_eq, opts.rho * opts.rho_eq_scale,
-                         opts.rho).astype(dtype)              # (B, m)
+                         opts.rho).astype(dtype)
+    rho_base = jnp.broadcast_to(rho_base, qp.l.shape)         # (B, m)
     rho_scale = (jnp.ones((B,), dtype) if warm.rho_scale is None
                  else jnp.clip(warm.rho_scale, 1e-6, 1e6).astype(dtype))
 
@@ -504,7 +518,11 @@ def _solve_qp_pallas_batched(qp: QPData, warm: QPWarmStart,
     if bulk > 0:
         x, z, y, stats = run_iters(Kinv, rho_vec, x, z, y, bulk, True)
         r_prim, r_dual, eps_p, eps_d, *_ = residuals(stats)
-        converged = (r_prim <= eps_p) & (r_dual <= eps_d)
+        # Bulk-phase residual stats ran bf16 matvecs (~4e-3 noise vs the
+        # 1e-3 tolerance): never let them declare convergence — at least
+        # one fp32 polish segment always runs (the residuals stay as
+        # diagnostics only).
+        converged = jnp.zeros((B,), bool)
     else:
         # skip the pre-loop residual check (it would need fresh A x / A^T y
         # matvecs); at least one segment always runs, matching OSQP's

@@ -280,6 +280,12 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     mode = "bf16" if bf16 else str(precision)
     if mode not in ("bf16", "high", "highest", "mixed", "mixedk6"):
         raise ValueError(f"unknown precision {precision!r}")
+    if 0 < check < n_iters and n_iters % check != 0:
+        # the early-exit segment loop runs whole `check`-iteration blocks;
+        # a non-divisor budget would silently run ceil(n/k)*k iterations
+        # and misreport iters_acc
+        raise ValueError(f"check ({check}) must divide n_iters "
+                         f"({n_iters}) for in-kernel early exit")
     mixed = mode in ("mixed", "mixedk6")
     if mixed and not 0 < m_eq <= m:
         raise ValueError("mixed precision requires m_eq leading equality "
