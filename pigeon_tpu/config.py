@@ -237,6 +237,10 @@ class SolverOptions:
     # and the batch pays the MEAN iteration count, not the fixed budget.
     # 0 disables (fixed-length segments, deterministic latency).
     pallas_check_inner: int = 10
+    # Newton-Schulz polish steps after the lane-batched per-lane Cholesky
+    # inverse ("lanes" backend): each squares the factorization residual
+    # (fp32 substitution leaves ~eps*cond); 1 is plenty.
+    lane_polish: int = 1
     # Tensor-parallel mesh axis name (shard_map) for the KKT factorization:
     # identity RHS columns of the banded solve are sharded across this
     # axis and re-assembled with all_gather.  None = no TP.

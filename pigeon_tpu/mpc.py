@@ -47,6 +47,13 @@ class MPCConfig:
     # (qp/condensed.py): n 193->103 (one MXU tile), m 290->200, no stiff
     # dynamics equality rows; mathematically equivalent QP.
     condensed: bool = False
+    # soft=True selects the SOFT condensed formulation (qp/condensed.py
+    # SoftQP): additionally eliminates the q0/u0 pins, slack variables and
+    # slew auxiliaries — n=30, m=124, ZERO equality rows; slack costs
+    # become per-row exact penalties in the ADMM z-update.  Pairs with
+    # solver backend "lanes" (solver/lane_admm.py).  Implies condensed
+    # semantics; `condensed` is ignored when set.
+    soft: bool = False
     timed_mode: bool = False              # reference tracking_mode :traj
     hji_eps: float = 0.05                 # reference HJI_eps (Pigeon.jl:67)
     use_hji_policy: bool = False          # "hammer" override flag
@@ -142,8 +149,10 @@ def init_carry(cfg: MPCConfig, dtype=jnp.float32) -> MPCCarry:
     N = hz.N
     nx = 6 if cfg.formulation == "coupled" else 4
     if cfg.formulation == "coupled":
-        if cfg.condensed:
-            from pigeon_tpu.qp import condensed as qp_condensed
+        from pigeon_tpu.qp import condensed as qp_condensed
+        if cfg.soft:
+            L = qp_condensed.get_soft_layout(hz, cfg.coupled.use_walls)
+        elif cfg.condensed:
             L = qp_condensed.get_layout(hz, cfg.coupled.use_walls)
         else:
             L = qp_coupled.get_layout(hz, cfg.coupled.use_walls)
@@ -355,6 +364,8 @@ class _PreAux(NamedTuple):
     us: jnp.ndarray      # node controls (decoupled control extraction)
     G: jnp.ndarray = None   # condensed rollout map (state recovery)
     g: jnp.ndarray = None
+    w: jnp.ndarray = None   # soft-row penalty weights (soft formulation)
+    q0_node: jnp.ndarray = None  # stage-0 tracking state (soft extraction)
 
 
 def _banded_plan_for(cfg: MPCConfig):
@@ -368,7 +379,7 @@ def _banded_plan_for(cfg: MPCConfig):
 def _eq_rows_for(cfg: MPCConfig):
     """Statically-known equality rows of the QP (the solver's
     mixed-precision Pallas modes keep their matvec tiles at fp32)."""
-    if cfg.formulation == "coupled":
+    if cfg.formulation == "coupled" and not cfg.soft:
         if cfg.condensed:
             from pigeon_tpu.qp.condensed import get_layout
         else:
@@ -417,8 +428,17 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
             edges = None
         data = qp_coupled.CoupledStageData(dt=dt, qs=qs, us=us, ps=ps,
                                            hji_M=M, hji_b=b, edges=edges)
-        G_map = g_off = None
-        if cfg.condensed:
+        G_map = g_off = w_soft = q0_node = None
+        if cfg.soft:
+            from pigeon_tpu.qp import condensed as qp_condensed
+            from pigeon_tpu.solver.admm import QPData
+            sqp = qp_condensed.build_qp_soft(veh, cfg.coupled, hz, data,
+                                             lin_method=cfg.lin_method,
+                                             lin_substeps=cfg.lin_substeps)
+            qp = QPData(sqp.P, sqp.q, sqp.A, sqp.l, sqp.u)
+            G_map, g_off, w_soft = sqp.G, sqp.g, sqp.w
+            q0_node = qs[0]
+        elif cfg.condensed:
             from pigeon_tpu.qp import condensed as qp_condensed
             cqp = qp_condensed.build_qp(veh, cfg.coupled, hz, data,
                                         lin_method=cfg.lin_method,
@@ -437,7 +457,7 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
         x_rel = hji_mod.relative_state(q0, other_car)
         data = qp_decoupled.DecoupledStageData(dt=dt, qs=qs, us=us, ps=ps)
         qp = qp_decoupled.build_qp(veh, cfg.decoupled, hz, data)
-        G_map = g_off = None
+        G_map = g_off = w_soft = q0_node = None
 
     warm_start = QPWarmStart(
         x=jnp.where(carry.solved, carry.warm_x, 0.0),
@@ -445,7 +465,8 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
         z=jnp.where(carry.solved, carry.warm_z, 0.0),
         rho_scale=jnp.where(carry.solved, carry.warm_rho, 1.0))
     aux = _PreAux(ts=ts, s0=s0, e0=e0, V_hji=V_hji, gradV=gradV,
-                  x_rel=x_rel, us=us, G=G_map, g=g_off)
+                  x_rel=x_rel, us=us, G=G_map, g=g_off, w=w_soft,
+                  q0_node=q0_node)
     return qp, warm_start, aux
 
 
@@ -455,7 +476,14 @@ def _post_solve(cfg: MPCConfig, carry: MPCCarry, q0,
     update (reference src/ros_integration.jl:115-150)."""
     veh, hz = cfg.veh, cfg.hz
     if cfg.formulation == "coupled":
-        if cfg.condensed:
+        if cfg.soft:
+            from pigeon_tpu.qp import condensed as qp_condensed
+            u2 = qp_condensed.extract_control_soft(veh, hz, sol.x,
+                                                   cfg.coupled.use_walls)
+            q_sol, u_sol = qp_condensed.extract_trajectory_soft(
+                hz, sol.x, veh, aux.G, aux.g, aux.q0_node, aux.us[0],
+                cfg.coupled.use_walls)
+        elif cfg.condensed:
             from pigeon_tpu.qp import condensed as qp_condensed
             u2 = qp_condensed.extract_control(veh, hz, sol.x,
                                               cfg.coupled.use_walls)
@@ -536,7 +564,7 @@ def mpc_step(cfg: MPCConfig, tube: trj.TrajectoryTube,
                                      other_car, t, nodes_mode)
     sol = solve_qp(qp, warm=warm_start, opts=cfg.solver,
                    banded_plan=_banded_plan_for(cfg),
-                   eq_rows=_eq_rows_for(cfg))
+                   eq_rows=_eq_rows_for(cfg), w_soft=aux.w)
     return _post_solve(cfg, carry, q0, sol, aux)
 
 
@@ -616,6 +644,6 @@ def mpc_step_batched(cfg: MPCConfig, tube: trj.TrajectoryTube,
 
     sol = solve_qp_batched(qp, warm, cfg.solver,
                            banded_plan=_banded_plan_for(cfg),
-                   eq_rows=_eq_rows_for(cfg))
+                           eq_rows=_eq_rows_for(cfg), w_soft=aux.w)
     return jax.vmap(lambda c, q, s, a: _post_solve(cfg, c, q, s, a))(
         carries, q0s, sol, aux)

@@ -315,6 +315,291 @@ def extract_control(veh: VehicleParams, hz: HorizonParams, x: jnp.ndarray,
     return x[L.u[1]] * unorm
 
 
+# ===========================================================================
+# Soft condensed formulation: aux-free, equality-free, one MXU/lane tile
+# ===========================================================================
+
+class SoftCondensedLayout:
+    """Static plan for the SOFT condensed QP.
+
+    Beyond the state elimination of `CondensedLayout`, this formulation
+    eliminates EVERY auxiliary variable and EVERY equality row:
+
+      - q0 and u0 pins: substituted (they are parameters, not decisions) —
+        their columns fold into the row offsets / objective linear term.
+      - slack variables (sig, sHJI, sw) + their >=0 rows: replaced by
+        per-row exact L1 penalties handled inside the ADMM z-update as a
+        shrinkage prox (slack s>=0 with linear cost W*s on row h <= g + s
+        is exactly the penalty W*max(0, h-g); the envelope/wall slack
+        sharing pairs +-half-planes whose violations are mutually
+        exclusive, so per-row penalties are still exact).
+      - dd/dF slew variables + diff equality rows: the slew quadratics
+        R_ddelta/R_dFx go directly into the dense P (tridiagonal coupling
+        in a dense Hessian costs nothing); the delta rate BOUNDS become
+        two-entry inequality rows over consecutive u's.
+
+    Result for the live coupled config (N=16): n = 2(N-1) = 30 variables,
+    m = 124 rows (139 with walls), ZERO equality rows -> no rho_eq
+    stiffness, no mixed-precision row split, and the whole per-instance
+    problem fits one 128-lane tile of the lane-batched VPU solver
+    (`solver/lane_admm.py`).  Mathematically equivalent to the sparse QP
+    (reference `src/coupled_lat_long.jl:197-313`): eliminated rows were
+    equalities, penalties are exact.
+
+    Row order: ux (T, hard dense) | fx (N-1, hard) | hji (S-1, soft) |
+    delta (T, hard) | envelope (4T, soft) | rate (T, hard) |
+    [walls (T, soft two-sided)].
+    """
+
+    def __init__(self, hz: HorizonParams, use_walls: bool = False):
+        S, Lg = hz.N_short, hz.N_long
+        N, T = hz.N, hz.N_short + hz.N_long
+        self.hz = hz
+        self.use_walls = use_walls
+        self.n = 2 * (N - 1)
+        # variable index of normalized (delta, Fx) at knot t (1-based knots)
+        self.u = np.arange(2 * (N - 1)).reshape(N - 1, 2)  # u[t-1] = knot t
+        r0 = 0
+        self.r_ux = np.arange(r0, r0 + T); r0 += T
+        self.r_fx = np.arange(r0, r0 + (N - 1)); r0 += N - 1
+        self.r_hji = np.arange(r0, r0 + (S - 1)); r0 += S - 1
+        self.r_delta = np.arange(r0, r0 + T); r0 += T
+        self.r_env = np.arange(r0, r0 + 4 * T).reshape(T, 4); r0 += 4 * T
+        self.r_rate = np.arange(r0, r0 + T); r0 += T
+        if use_walls:
+            self.r_wall = np.arange(r0, r0 + T); r0 += T
+        self.m = r0
+        self.eq_rows = np.zeros((0,), np.int64)
+
+        # static scatter indices for the sparse row families
+        rows, cols = [], []
+        # fx: u[t,1], knots t=1..N-1
+        rows.append(self.r_fx); cols.append(self.u[:, 1])
+        # hji: u[t] knots t=1..S-1 (2 entries per row)
+        rows.append(np.repeat(self.r_hji, 2))
+        cols.append(self.u[:S - 1].ravel())
+        # delta bounds: u[t,0], knots t=1..T
+        rows.append(self.r_delta); cols.append(self.u[:T, 0])
+        # rate rows: stage t=0 -> u1 only; stages t>=1 -> u_{t+1} - u_t
+        rows.append(self.r_rate[0:1]); cols.append(self.u[0:1, 0])
+        rows.append(np.repeat(self.r_rate[1:], 2))
+        cols.append(np.stack([self.u[1:T, 0], self.u[0:T - 1, 0]],
+                             axis=-1).ravel())
+        self._sp_rows = np.concatenate(rows)
+        self._sp_cols = np.concatenate(cols)
+
+
+@functools.lru_cache(maxsize=None)
+def get_soft_layout(hz: HorizonParams, use_walls: bool = False
+                    ) -> SoftCondensedLayout:
+    return SoftCondensedLayout(hz, use_walls)
+
+
+class SoftQP(NamedTuple):
+    """Equality-free QP with per-row exact-penalty weights.
+
+    w (m,): +inf marks a hard row (box projection); finite W makes the row
+    an L1 exact penalty W*dist(Ax, [l,u]) handled by the solver's shrink
+    prox.  G/g: rollout map over the FULL [q0; u] column space (q0, u0
+    already substituted into g) for state recovery."""
+
+    P: jnp.ndarray         # (n, n) dense Hessian (1/2 x'Px convention)
+    q: jnp.ndarray         # (n,)
+    A: jnp.ndarray         # (m, n)
+    l: jnp.ndarray         # (m,)
+    u: jnp.ndarray         # (m,)
+    w: jnp.ndarray         # (m,) soft-row penalty weights (inf = hard)
+    G: jnp.ndarray         # (T, 6, n) rollout map over free u
+    g: jnp.ndarray         # (T, 6) offsets (pins folded in)
+
+
+def build_qp_soft(veh: VehicleParams, ctl: CoupledControlParams,
+                  hz: HorizonParams, data: CoupledStageData,
+                  lin_method: str = "expm", lin_substeps: int = 1
+                  ) -> SoftQP:
+    """Assemble the soft condensed QP (same linearization semantics as
+    `build_qp`; reference `src/coupled_lat_long.jl:315-368`)."""
+    S, Lg, N = hz.N_short, hz.N_long, hz.N
+    T = S + Lg
+    L = get_soft_layout(hz, ctl.use_walls)
+    dt, qs, us, ps = data.dt, data.qs, data.us, data.ps
+    dtype = qs.dtype
+    unorm = jnp.asarray(u_normalization(veh), dtype)
+    n = L.n
+
+    def f(q, ur):
+        return dyn.vehicle_ode(veh, "tracking", q, ur[:2], ur[2:])
+
+    ur = jnp.concatenate([us, ps], axis=-1)
+
+    if lin_method == "expm":
+        A_all, B0_all, Bf_all, c_all = dz.linearize_horizon_fused(
+            f, qs, ur, dt, S, 2, squarings=7, order=6, precision="high")
+    else:
+        Az, Bz, cz = jax.vmap(
+            lambda q, u, h: dz.linearize_zoh(f, q, u, h, 2,
+                                             substeps=lin_substeps))(
+            qs[:S], ur[:S], dt[:S])
+        Af, B0f, Bff, cf = jax.vmap(
+            lambda q, u0, uf, h: dz.linearize_foh(f, q, u0, uf, h, 2,
+                                                  substeps=lin_substeps))(
+            qs[S:T], ur[S:T], ur[S + 1:N], dt[S:T])
+        A_all = jnp.concatenate([Az, Af])
+        B0_all = jnp.concatenate([Bz, B0f])
+        Bf_all = jnp.concatenate([jnp.zeros((S, 6, 2), dtype), Bff])
+        c_all = jnp.concatenate([cz, cf])
+
+    B0n = B0_all * unorm[None, None, :]
+    Bfn = Bf_all * unorm[None, None, :]
+
+    q_curr = qs[0]
+    u_curr = us[0] / unorm
+
+    # ---- rollout over the FREE u columns, pins folded into the offset --
+    # q_{t+1} = G[t] u_free + g[t];  u_free = normalized u at knots 1..N-1
+    Gp = jnp.zeros((6, n), dtype)
+    gp = q_curr
+    G_list, g_list = [], []
+    for t in range(T):                           # static unroll
+        Gn = A_all[t] @ Gp
+        gn = A_all[t] @ gp + c_all[t]
+        if t == 0:
+            # B0 multiplies the pinned u0; Bf the first free knot
+            gn = gn + B0n[0] @ u_curr
+            Gn = Gn.at[:, 0:2].add(Bfn[0])
+        else:
+            c0 = 2 * (t - 1)
+            Gn = Gn.at[:, c0:c0 + 2].add(B0n[t])
+            Gn = Gn.at[:, c0 + 2:c0 + 4].add(Bfn[t])
+        G_list.append(Gn)
+        g_list.append(gn)
+        Gp, gp = Gn, gn
+    G = jnp.stack(G_list)                        # (T, 6, n)
+    g = jnp.stack(g_list)                        # (T, 6)
+
+    # per-stage envelope + bounds at the t+1 NODE states (reference
+    # :356-366)
+    Ux_t = qs[1:, 1]
+    Fxf_t, Fxr_t = dyn.longitudinal_split(veh, us[1:, 1])
+    lim = dyn.stable_limits(veh, Ux_t, Fxf_t, Fxr_t)
+    d_min = jnp.maximum(lim.delta_min, -veh.delta_max) / unorm[0]
+    d_max = jnp.minimum(lim.delta_max, veh.delta_max) / unorm[0]
+    Fx_hi = jnp.minimum(veh.Px_max / Ux_t, veh.Fx_max) / unorm[1]
+    Fx_lo = jnp.full(N - 1, veh.Fx_min / float(u_normalization(veh)[1]),
+                     dtype)
+    dd_lim = ctl.delta_dot_max * dt / unorm[0]
+
+    H_veh = jnp.broadcast_to(lim.H_veh, (T, 4, 2)).astype(dtype)
+    Henv = jnp.einsum("tij,tjk->tik", H_veh, G[:, 2:4, :])   # (T, 4, n)
+    Henv_off = jnp.einsum("tij,tj->ti", H_veh, g[:, 2:4])    # (T, 4)
+
+    # ---- constraint matrix ---------------------------------------------
+    A = jnp.zeros((L.m, n), dtype)
+    A = A.at[jnp.asarray(L.r_ux)].set(G[:, 1, :])
+    A = A.at[jnp.asarray(L.r_env).ravel()].set(Henv.reshape(4 * T, n))
+    if ctl.use_walls:
+        A = A.at[jnp.asarray(L.r_wall)].set(G[:, 5, :])
+    sp_vals = jnp.concatenate([
+        jnp.ones(N - 1, dtype),                          # fx
+        jnp.broadcast_to(data.hji_M * unorm, (S - 1, 2)).ravel(),
+        jnp.ones(T, dtype),                              # delta
+        jnp.ones(1, dtype),                              # rate t=0
+        jnp.tile(jnp.asarray([1.0, -1.0], dtype), T - 1),
+    ])
+    A = A.at[jnp.asarray(L._sp_rows), jnp.asarray(L._sp_cols)].add(sp_vals)
+
+    big = jnp.asarray(INF, dtype)
+    lo = jnp.concatenate([
+        ctl.V_min - g[:, 1],                             # ux
+        Fx_lo,                                           # fx
+        jnp.full(S - 1, -data.hji_b, dtype),             # hji
+        d_min,                                           # delta
+        jnp.full(4 * T, -INF, dtype),                    # envelope
+        jnp.concatenate([u_curr[0:1] - dd_lim[0:1], -dd_lim[1:]]),
+    ] + ([data.edges[1:, 1] + ctl.wall_margin - g[:, 5]]
+         if ctl.use_walls else []))
+    hi = jnp.concatenate([
+        ctl.V_max - g[:, 1],
+        Fx_hi,
+        jnp.full(S - 1, big),
+        d_max,
+        (lim.G_veh - Henv_off).reshape(-1),
+        jnp.concatenate([u_curr[0:1] + dd_lim[0:1], dd_lim[1:]]),
+    ] + ([data.edges[1:, 0] - ctl.wall_margin - g[:, 5]]
+         if ctl.use_walls else []))
+
+    # ---- per-row penalty weights ----------------------------------------
+    # (soft rows mirror the slack-variable linear costs of `build_qp`)
+    w_hji = jnp.where(jnp.arange(1, S) < ctl.N_HJI, ctl.W_HJI,
+                      0.0).astype(dtype)
+    w_env = jnp.stack([ctl.W_beta * dt, ctl.W_beta * dt,
+                       ctl.W_r * dt, ctl.W_r * dt], axis=-1)  # (T, 4)
+    w = jnp.concatenate([
+        jnp.full(T, big),                                # ux hard
+        jnp.full(N - 1, big),                            # fx hard
+        w_hji,
+        jnp.full(T, big),                                # delta hard
+        w_env.reshape(-1),
+        jnp.full(T, big),                                # rate hard
+    ] + ([ctl.W_wall * dt] if ctl.use_walls else []))
+
+    # ---- objective -------------------------------------------------------
+    # state tracking cost folded through the rollout (P = 2Q convention)
+    Wst = 2.0 * dt[:, None] * jnp.stack(
+        [jnp.full_like(dt, ctl.Q_ds), jnp.full_like(dt, ctl.Q_dpsi),
+         jnp.full_like(dt, ctl.Q_e)], axis=-1)           # (T, 3)
+    Gsel = G[:, jnp.array([0, 4, 5]), :]                 # (T, 3, n)
+    gsel = g[:, jnp.array([0, 4, 5])]                    # (T, 3)
+    P = jnp.einsum("tkn,tk,tkm->nm", Gsel, Wst, Gsel)
+    qlin = jnp.einsum("tkn,tk,tk->n", Gsel, Wst, gsel)
+
+    diag = jnp.zeros(n, dtype)
+    diag = diag.at[jnp.asarray(L.u[:, 0])].set(2.0 * ctl.R_delta * dt)
+    diag = diag.at[jnp.asarray(L.u[:, 1])].set(2.0 * ctl.R_Fx * dt)
+    P = P + jnp.diag(diag)
+
+    # slew quadratics (dd/dF variables eliminated):
+    #   sum_t (R/dt_t) (v_{t+1} - v_t)^2, v_0 pinned to u_curr
+    for k, R in ((0, ctl.R_ddelta), (1, ctl.R_dFx)):
+        if R == 0.0:
+            continue
+        cw = 2.0 * R / dt                               # (T,)
+        vidx = jnp.asarray(L.u[:, k])                   # knots 1..N-1
+        # t = 0: (v_1 - u_curr)^2
+        P = P.at[vidx[0], vidx[0]].add(cw[0])
+        qlin = qlin.at[vidx[0]].add(-cw[0] * u_curr[k])
+        # t >= 1: (v_{t+1} - v_t)^2
+        a, b_ = vidx[1:], vidx[:-1]
+        P = P.at[a, a].add(cw[1:])
+        P = P.at[b_, b_].add(cw[1:])
+        P = P.at[a, b_].add(-cw[1:])
+        P = P.at[b_, a].add(-cw[1:])
+
+    return SoftQP(P=P, q=qlin, A=A, l=lo, u=hi, w=w, G=G, g=g)
+
+
+def extract_control_soft(veh: VehicleParams, hz: HorizonParams,
+                         x: jnp.ndarray, use_walls: bool = False):
+    """Next physical control (reference `get_next_control`)."""
+    L = get_soft_layout(hz, use_walls)
+    unorm = jnp.asarray(u_normalization(veh), x.dtype)
+    return x[jnp.asarray(L.u[0])] * unorm
+
+
+def extract_trajectory_soft(hz: HorizonParams, x: jnp.ndarray,
+                            veh: VehicleParams, G, g, q_curr, u_curr,
+                            use_walls: bool = False):
+    """Full (q, u) solution for warm-start resampling; q recovered through
+    the rollout map, the knot-0 rows are the pinned current state/control
+    (what the q0/u0 pin rows of the slack formulation return)."""
+    L = get_soft_layout(hz, use_walls)
+    unorm = jnp.asarray(u_normalization(veh), x.dtype)
+    q_tail = jnp.einsum("tij,j->ti", G, x) + g           # (T, 6)
+    q_sol = jnp.concatenate([q_curr[None], q_tail])      # (N, 6)
+    u_sol = jnp.concatenate([u_curr[None], x.reshape(-1, 2) * unorm])
+    return q_sol, u_sol
+
+
 def extract_trajectory(hz: HorizonParams, x: jnp.ndarray,
                        veh: VehicleParams, G, g, use_walls: bool = False):
     """Full (q, u) solution for warm-start resampling: states recovered

@@ -199,7 +199,7 @@ _RHO_MIN, _RHO_MAX = 1e-6, 1e6
 
 def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
              opts: SolverOptions = SolverOptions(),
-             banded_plan=None, eq_rows=None) -> QPSolution:
+             banded_plan=None, eq_rows=None, w_soft=None) -> QPSolution:
     """Solve one QP; vmap over a leading batch axis for scenario batching.
 
     Runs under matmul precision HIGHEST: TPU's default bf16 matmul passes
@@ -213,13 +213,20 @@ def solve_qp(qp: QPData, warm: QPWarmStart | None = None,
     eq_rows: accepted for API symmetry with `solve_qp_batched`; the
     single-instance path always runs full-precision iterations, so the
     mixed-precision row split does not apply here.
+
+    w_soft: optional (m,) per-row exact-penalty weights (+inf = hard row).
+    Finite-weight rows replace the box projection in the z-update with the
+    shrinkage prox of W*dist(., [l, u]) — the aux-free soft-constraint
+    formulation (`qp/condensed.py SoftQP`).  Soft solves run the XLA
+    iteration body regardless of opts.backend.
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_qp(qp, warm, opts, banded_plan)
+        return _solve_qp(qp, warm, opts, banded_plan, w_soft)
 
 
 def _solve_qp(qp: QPData, warm: QPWarmStart | None,
-              opts: SolverOptions, banded_plan=None) -> QPSolution:
+              opts: SolverOptions, banded_plan=None,
+              w_soft=None) -> QPSolution:
     dtype = qp.q.dtype
     if warm is None:
         warm = cold_start(qp)
@@ -230,6 +237,10 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
     Pb, qb, Ab, lb, ub = qps
     sigma = jnp.asarray(opts.sigma, dtype)
     alpha = jnp.asarray(opts.alpha, dtype)
+    # soft-row penalty weights in the equilibrated space: the scaled
+    # objective is c * f(D x_bar), and row r reads z_bar = E_r z, so
+    # W_bar = c W / E keeps the penalty consistent (same law as y_bar).
+    wb = None if w_soft is None else c * w_soft / E
 
     # Per-row rho: equality rows (l == u) get the stiff scaling, like OSQP.
     is_eq = (qp.u - qp.l) < 1e-10
@@ -264,7 +275,7 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
         return r_prim, r_dual, eps_prim, eps_dual, Ax, z_u, Px, Aty
 
     def admm_iters(Kinv, rho_vec, x, z, y, k):
-        if opts.backend == "pallas":
+        if opts.backend == "pallas" and wb is None:
             from pigeon_tpu.solver.pallas_admm import admm_iterations
             x, z, y, _ = admm_iterations(
                 Kinv[None], Ab[None], qb[None], lb[None], ub[None],
@@ -273,6 +284,8 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
             return x[0].astype(qb.dtype), z[0].astype(qb.dtype), \
                 y[0].astype(qb.dtype)
 
+        cap = None if wb is None else wb / rho_vec
+
         def body(_, carry):
             x, z, y = carry
             rhs = sigma * x - qb + Ab.T @ (rho_vec * z - y)
@@ -280,7 +293,14 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
             z_t = Ab @ x_t
             x_n = alpha * x_t + (1.0 - alpha) * x
             z_mix = alpha * z_t + (1.0 - alpha) * z
-            z_n = jnp.clip(z_mix + y / rho_vec, lb, ub)
+            v = z_mix + y / rho_vec
+            if cap is None:
+                z_n = jnp.clip(v, lb, ub)
+            else:
+                # prox of W*dist(., [l, u]) / rho: shrink toward the box,
+                # by at most W/rho per side (inf cap == hard projection)
+                z_n = (v - jnp.clip(v - ub, 0.0, cap)
+                       - jnp.clip(v - lb, -cap, 0.0))
             y_n = y + rho_vec * (z_mix - z_n)
             return x_n, z_n, y_n
         return jax.lax.fori_loop(0, k, body, (x, z, y))
@@ -362,7 +382,8 @@ def _solve_qp(qp: QPData, warm: QPWarmStart | None,
 
 def solve_qp_batched(qp: QPData, warm: QPWarmStart,
                      opts: SolverOptions = SolverOptions(),
-                     banded_plan=None, eq_rows=None) -> QPSolution:
+                     banded_plan=None, eq_rows=None,
+                     w_soft=None) -> QPSolution:
     """Solve a BATCH of QPs (leading batch axis on every leaf).
 
     XLA backend: the vmapped single-instance solver (portable, CPU tests).
@@ -375,10 +396,30 @@ def solve_qp_batched(qp: QPData, warm: QPWarmStart,
     instance's adaptive rho drifts).  Under plain vmap the tile>1 VMEM
     batching is impossible (each traced instance has batch 1), which is
     why this path exists.
+    Lanes backend: the lane-batched VPU solve (`solver/lane_admm.py`) for
+    small equality-free QPs (the soft condensed formulation): instances
+    mapped onto the 128-lane axis, everything — K build, Cholesky inverse,
+    iterations, residuals — per-lane in VMEM.
+
+    w_soft: (m,) or (B, m) exact-penalty weights (see `solve_qp`);
+    supported by the xla and lanes backends.
     """
+    if opts.backend == "lanes":
+        from pigeon_tpu.solver.lane_admm import solve_lanes_batched
+        with jax.default_matmul_precision("highest"):
+            return solve_lanes_batched(qp, warm, opts, w_soft)
     if opts.backend != "pallas":
-        return jax.vmap(lambda q, w: solve_qp(q, w, opts, banded_plan))(
-            qp, warm)
+        if w_soft is not None and w_soft.ndim == 1:
+            w_soft = jnp.broadcast_to(w_soft, qp.l.shape)
+        if w_soft is None:
+            return jax.vmap(lambda q, w: solve_qp(q, w, opts, banded_plan))(
+                qp, warm)
+        return jax.vmap(lambda q, w, ws: solve_qp(
+            q, w, opts, banded_plan, w_soft=ws))(qp, warm, w_soft)
+    if w_soft is not None:
+        raise NotImplementedError(
+            "soft rows are supported by the 'xla' and 'lanes' backends; "
+            "the MXU 'pallas' kernel has no shrink prox")
     with jax.default_matmul_precision("highest"):
         return _solve_qp_pallas_batched(qp, warm, opts, banded_plan,
                                         eq_rows)

@@ -212,7 +212,9 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
         # fraction of max_iter while a few stragglers run long).  The
         # OSQP termination test here is IDENTICAL to the caller's
         # (solver/admm.py residuals()), so the outer segment loop agrees
-        # with the in-kernel decision.
+        # with the in-kernel decision.  When `check` does not divide
+        # n_iters the FINAL block runs only the remainder, keeping the
+        # executed count (stats col 6) exact.
         n_blocks = -(-n_iters // check)
 
         def seg_cond(c):
@@ -221,7 +223,8 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
 
         def seg_body(c):
             x, z, y, stats, it, _ = c
-            x, z, y = jax.lax.fori_loop(0, check, body, (x, z, y))
+            k_len = jnp.minimum(check, n_iters - it * check)
+            x, z, y = jax.lax.fori_loop(0, k_len, body, (x, z, y))
             stats, conv = calc_stats(x, z, y)
             return x, z, y, stats, it + 1, conv
 
@@ -231,7 +234,8 @@ def _kernel(n_iters: int, sigma: float, alpha: float, mode: str,
             (x0v, z0v, y0v, stats0, jnp.asarray(0, jnp.int32),
              jnp.asarray(False)))
         col = jax.lax.broadcasted_iota(jnp.int32, stats.shape, 2)
-        stats = jnp.where(col == 6, (it * check).astype(jnp.float32),
+        executed = jnp.minimum(it * check, n_iters)
+        stats = jnp.where(col == 6, executed.astype(jnp.float32),
                           stats)
     else:
         x, z, y = jax.lax.fori_loop(0, n_iters, body, (x0v, z0v, y0v))
@@ -280,12 +284,6 @@ def admm_iterations(Kinv, A, q, l, u, rho, x0, z0, y0,
     mode = "bf16" if bf16 else str(precision)
     if mode not in ("bf16", "high", "highest", "mixed", "mixedk6"):
         raise ValueError(f"unknown precision {precision!r}")
-    if 0 < check < n_iters and n_iters % check != 0:
-        # the early-exit segment loop runs whole `check`-iteration blocks;
-        # a non-divisor budget would silently run ceil(n/k)*k iterations
-        # and misreport iters_acc
-        raise ValueError(f"check ({check}) must divide n_iters "
-                         f"({n_iters}) for in-kernel early exit")
     mixed = mode in ("mixed", "mixedk6")
     if mixed and not 0 < m_eq <= m:
         raise ValueError("mixed precision requires m_eq leading equality "
