@@ -192,7 +192,7 @@ def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
     veh, hz = cfg.veh, cfg.hz
     S, N = hz.N_short, hz.N
     s0, e0, _ = trj.path_coordinates(tube, q0[:2])
-    tj0 = trj.eval_arclength(tube, s0)
+    tj0 = trj.eval_arclength(tube, s0, fields=("psi", "kappa"))
     dpsi0 = adiff(q0[2], tj0.psi)
     u20 = jnp.stack([u0[0], u0[1] + u0[2]])
 
@@ -203,7 +203,7 @@ def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
     Fyf0, _ = dyn.lateral_tire_forces(veh, q0[3], q0[4], q0[5], u0)
 
     # stage 0 (reference :117-120)
-    ds0 = s0 - trj.eval_time(tube, ts[0]).s
+    ds0 = s0 - trj.eval_time(tube, ts[0], fields=()).s
     q_0 = jnp.stack([ds0, q0[3], q0[4], q0[5], dpsi0, e0])
     p_0 = jnp.stack([tj0.V, tj0.kappa, 0.0 * s0, 0.0 * s0])
     qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20, jnp.zeros(4, q0.dtype))
@@ -221,8 +221,8 @@ def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
     def body(carry, inp):
         V, s = carry
         i, tau, t_i = inp
-        tj = trj.eval_arclength(tube, s)
-        ds_i = s - trj.eval_time(tube, t_i).s
+        tj = trj.eval_arclength(tube, s, fields=("psi", "kappa"))
+        ds_i = s - trj.eval_time(tube, t_i, fields=()).s
         A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
         short = i <= S
         est1 = dyn.steady_state_estimates(
@@ -256,21 +256,28 @@ def _nodes_coupled_warm(cfg: MPCConfig, tube, q0, u0, ts, carry: MPCCarry):
     """Resample the previous solution onto the new grid
     (reference :83-102)."""
     s0, e0, _ = trj.path_coordinates(tube, q0[:2])
-    tj0 = trj.eval_arclength(tube, s0)
-    ds0 = s0 - trj.eval_time(tube, ts[0]).s
+    tj0 = trj.eval_arclength(tube, s0, fields=("psi", "kappa"))
+    ds0 = s0 - trj.eval_time(tube, ts[0], fields=()).s
     q_node0 = jnp.stack([ds0, q0[3], q0[4], q0[5], adiff(q0[2], tj0.psi), e0])
     u_node0 = jnp.stack([u0[0], u0[1] + u0[2]])
     p_node0 = jnp.stack([tj0.V, tj0.kappa, 0.0 * s0, 0.0 * s0])
 
+    # resample the previous solution onto the new grid: ONE shared segment
+    # index for all q/u columns (a per-column jnp.interp re-runs the
+    # knot search 8x; gathers dominate this phase at fleet batch sizes)
     tq = jnp.clip(ts[1:], carry.prev_ts[0], carry.prev_ts[-1])
-    interp_cols = lambda Y: jax.vmap(
-        lambda col: jnp.interp(tq, carry.prev_ts, col), in_axes=1,
-        out_axes=1)(Y)
-    q_tail = interp_cols(carry.q_prev)
-    u_tail = interp_cols(carry.u_prev)
-    s_tail = jax.vmap(lambda t: trj.eval_time(tube, t).s)(ts[1:]) \
-        + q_tail[:, 0]
-    tj = jax.vmap(lambda s: trj.eval_arclength(tube, s))(s_tail)
+    Y = jnp.concatenate([carry.q_prev, carry.u_prev], axis=-1)
+    nxq = carry.q_prev.shape[-1]
+    j = jnp.clip(jnp.searchsorted(carry.prev_ts, tq, side="right") - 1,
+                 0, carry.prev_ts.shape[0] - 2)
+    lam = jnp.clip((tq - carry.prev_ts[j])
+                   / (carry.prev_ts[j + 1] - carry.prev_ts[j]), 0.0, 1.0)
+    vals = Y[j] + lam[:, None] * (Y[j + 1] - Y[j])
+    q_tail, u_tail = vals[:, :nxq], vals[:, nxq:]
+    s_tail = jax.vmap(lambda t: trj.eval_time(tube, t, fields=()).s)(
+        ts[1:]) + q_tail[:, 0]
+    tj = jax.vmap(lambda s: trj.eval_arclength(tube, s,
+                                               fields=("kappa",)))(s_tail)
     p_tail = jnp.stack([tj.V, tj.kappa, jnp.zeros_like(tj.V),
                         jnp.zeros_like(tj.V)], axis=-1)
     qs = jnp.concatenate([q_node0[None], q_tail])
@@ -294,7 +301,7 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
     Fyf0, _ = dyn.lateral_tire_forces(veh, q0[3], q0[4], q0[5], u0)
     u20 = jnp.stack([u0[0], u0[1] + u0[2]])
 
-    tj0 = trj.eval_arclength(tube, s0)
+    tj0 = trj.eval_arclength(tube, s0, fields=("psi", "kappa"))
     q_0 = jnp.stack([q0[4], q0[5], adiff(q0[2], tj0.psi), e0])
     p_0 = jnp.stack([q0[3], tj0.kappa, 0.0 * s0, 0.0 * s0])
     qdot = dyn.vehicle_ode(veh, "bicycle", q0, u20, jnp.zeros(4, q0.dtype))
@@ -317,8 +324,8 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
     def body(carry, inp):
         V, s = carry
         i, tau, t_i = inp
-        tj = trj.eval_arclength(tube, s)
-        ds_i = s - trj.eval_time(tube, t_i).s
+        tj = trj.eval_arclength(tube, s, fields=("psi", "kappa"))
+        ds_i = s - trj.eval_time(tube, t_i, fields=()).s
         A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
         short = i <= S
         est1 = dyn.steady_state_estimates(
@@ -419,10 +426,11 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
             gradV = jnp.zeros(7, q0.dtype)
 
         if cfg.coupled.use_walls:
-            s_nodes = jax.vmap(lambda t: trj.eval_time(tube, t).s)(ts) \
+            s_nodes = jax.vmap(
+                lambda t: trj.eval_time(tube, t, fields=()).s)(ts) \
                 + qs[:, 0]
-            tj_nodes = jax.vmap(lambda s: trj.eval_arclength(tube, s))(
-                s_nodes)
+            tj_nodes = jax.vmap(lambda s: trj.eval_arclength(
+                tube, s, fields=("edge_L", "edge_R")))(s_nodes)
             edges = jnp.stack([tj_nodes.edge_L, tj_nodes.edge_R], axis=-1)
         else:
             edges = None

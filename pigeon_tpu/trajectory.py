@@ -23,6 +23,29 @@ import numpy as np
 from pigeon_tpu.math_utils import cross2, invcumtrapz, segment_distance2
 
 
+import dataclasses as _dc
+
+import jax
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass(frozen=True)
+class LookupIndex:
+    """Uniform-grid acceleration index for one knot vector: O(1) segment
+    lookup replacing the binary search.
+
+    table[j] is the segment index of grid point lo + j*h; the true segment
+    of a query x in cell j is at most `fixups` (static, computed at build)
+    increments past table[floor((x - lo)/h)].  Exact — the fixup loop runs
+    the worst-case count for the whole tube.  At fleet batch sizes this
+    turns ~10 gather rounds of `searchsorted` per query into 1 + fixups."""
+
+    table: jnp.ndarray    # (L_tab,) int32 segment index per uniform cell
+    lo: jnp.ndarray       # () grid origin
+    h: jnp.ndarray        # () grid step
+    fixups: int = _dc.field(metadata=dict(static=True), default=1)
+
+
 class TrajectoryTube(NamedTuple):
     """Columns mirror the reference's 12-field trajectory node
     (`src/trajectories.jl:1,8-21`)."""
@@ -40,6 +63,8 @@ class TrajectoryTube(NamedTuple):
     edge_L: jnp.ndarray   # left lateral bound (m)
     edge_R: jnp.ndarray   # right lateral bound (m)
     n_valid: jnp.ndarray  # number of live knots (<= padded length)
+    t_idx: "LookupIndex | None" = None   # acceleration index over t
+    s_idx: "LookupIndex | None" = None   # acceleration index over s
 
     @property
     def length(self) -> int:
@@ -95,7 +120,33 @@ def make_tube(t, s, V, A, E, N, psi, kappa, theta=None, phi=None,
             if k not in ("t", "s"):
                 cols[k] = np.concatenate([cols[k], np.full(pad, cols[k][-1])])
     return TrajectoryTube(n_valid=jnp.asarray(n, jnp.int32),
+                          t_idx=_build_lookup_index(cols["t"], n),
+                          s_idx=_build_lookup_index(cols["s"], n),
                           **{k: jnp.asarray(v) for k, v in cols.items()})
+
+
+def _build_lookup_index(knots: np.ndarray, n_valid: int,
+                        max_len: int = 8192) -> LookupIndex:
+    """Host-side uniform acceleration index over the LIVE knot range.
+
+    Table length targets one live segment per cell (fixups == 1); when
+    `max_len` caps it, the worst-case fixup count is computed exactly."""
+    live = np.asarray(knots[:n_valid], np.float64)
+    lo, hi = float(live[0]), float(live[-1])
+    span = max(hi - lo, 1e-9)
+    min_gap = float(np.min(np.diff(live))) if n_valid > 1 else span
+    L_tab = int(min(max_len, max(2, np.ceil(span / max(min_gap, 1e-9)))))
+    h = span / L_tab
+    grid = lo + h * np.arange(L_tab)
+    table = np.clip(np.searchsorted(live, grid, side="right") - 1,
+                    0, max(n_valid - 2, 0)).astype(np.int32)
+    # worst-case segments a query in cell j can lie past table[j]
+    ends = np.clip(np.searchsorted(live, grid + h, side="right") - 1,
+                   0, max(n_valid - 2, 0)).astype(np.int32)
+    fixups = int(np.max(ends - table)) if n_valid > 1 else 0
+    return LookupIndex(table=jnp.asarray(table),
+                       lo=jnp.asarray(lo), h=jnp.asarray(h),
+                       fixups=max(1, fixups))
 
 
 def straight_trajectory(length: float, vel: float, pad_to: int | None = None
@@ -111,32 +162,51 @@ def straight_trajectory(length: float, vel: float, pad_to: int | None = None
 # Lookup
 # ---------------------------------------------------------------------------
 
-def _segment_index(knots, x, n_valid):
+def _segment_index(knots, x, n_valid, idx: LookupIndex | None = None):
     """Index i of the live segment [knots[i], knots[i+1]] containing x,
     clamped to the valid range — the Julia
     `clamp(searchsortedfirst(...)-1, 1, len-1)` idiom
-    (`src/trajectories.jl:48,56`), 0-based."""
+    (`src/trajectories.jl:48,56`), 0-based.
+
+    With an acceleration index the binary search becomes one table gather
+    plus `idx.fixups` compare-and-advance steps (exact; see LookupIndex).
+    """
+    if idx is not None:
+        j = jnp.clip(((x - idx.lo) / idx.h).astype(jnp.int32), 0,
+                     idx.table.shape[0] - 1)
+        i = idx.table[j]
+        for _ in range(idx.fixups):
+            adv = (x >= knots[i + 1]).astype(i.dtype)
+            i = jnp.minimum(i + adv, n_valid - 2)
+        return i
     i = jnp.searchsorted(knots, x, side="left") - 1
     return jnp.clip(i, 0, n_valid - 2)
 
 
-def _lerp_spatial(tube: TrajectoryTube, s):
+def _lerp_spatial(tube: TrajectoryTube, s, i=None, fields=_SPATIAL_FIELDS):
     """Linear interp of the spatial columns by arclength with linear
     extrapolation beyond the ends (the reference's Gridded(Linear) +
     Line() extrapolation, `src/trajectories.jl:32-35`).
 
-    The spatial columns are gathered as ROWS of one stacked (L, 8) matrix
-    — two gathers total instead of 16.  Per-field gathers dominated the
-    warm node-seeding phase at fleet batch sizes (the stack itself is
-    batch-invariant, so vmap/XLA hoist it out of the per-query work)."""
-    i = _segment_index(tube.s, s, tube.n_valid)
+    The selected spatial columns are gathered as ROWS of one stacked
+    (L, len(fields)) matrix — two gathers total instead of two per field.
+    `fields` prunes the gather width: TPU gathers cost ~per element, and
+    the per-query row gathers dominate the warm node-seeding phase at
+    fleet batch sizes.  Unselected fields return None.  `i` reuses a
+    caller-computed segment index (eval_arclength already has it)."""
+    out = {name: None for name in _SPATIAL_FIELDS}
+    if not fields:
+        return out
+    if i is None:
+        i = _segment_index(tube.s, s, tube.n_valid, tube.s_idx)
     s0, s1 = tube.s[i], tube.s[i + 1]
     lam = (s - s0) / (s1 - s0)   # deliberately unclamped -> Line() extrapolation
-    cols = jnp.stack([getattr(tube, name) for name in _SPATIAL_FIELDS],
-                     axis=-1)                      # (L, 8)
+    cols = jnp.stack([getattr(tube, name) for name in fields],
+                     axis=-1)                      # (L, n_fields)
     r0, r1 = cols[i], cols[i + 1]
     vals = r0 + lam[..., None] * (r1 - r0)
-    return {name: vals[..., k] for k, name in enumerate(_SPATIAL_FIELDS)}
+    out.update({name: vals[..., k] for k, name in enumerate(fields)})
+    return out
 
 
 def _seg_accel(tube: TrajectoryTube, i):
@@ -158,28 +228,32 @@ def _time_from_arc(tube: TrajectoryTube, i, ds, s):
     return A, dt
 
 
-def eval_time(tube: TrajectoryTube, t) -> TrajectoryNode:
+def eval_time(tube: TrajectoryTube, t,
+              fields=_SPATIAL_FIELDS) -> TrajectoryNode:
     """Sample the tube at time t: constant-accel interpolation between time
     knots, then spatial interp at the resulting arclength (the reference's
-    `traj(t)` functor, `src/trajectories.jl:47-54`)."""
-    i = _segment_index(tube.t, t, tube.n_valid)
+    `traj(t)` functor, `src/trajectories.jl:47-54`).  `fields` limits the
+    spatial columns gathered (see `_lerp_spatial`)."""
+    i = _segment_index(tube.t, t, tube.n_valid, tube.t_idx)
     A = _seg_accel(tube, i)
     dt = t - tube.t[i]
     s = tube.s[i] + tube.V[i] * dt + A * dt * dt / 2.0
     V = tube.V[i] + A * dt
-    sp = _lerp_spatial(tube, s)
+    sp = _lerp_spatial(tube, s, fields=fields)
     return TrajectoryNode(t=jnp.asarray(t), s=s, V=V, A=A, **sp)
 
 
-def eval_arclength(tube: TrajectoryTube, s) -> TrajectoryNode:
+def eval_arclength(tube: TrajectoryTube, s,
+                   fields=_SPATIAL_FIELDS) -> TrajectoryNode:
     """Sample the tube at arclength s (the reference's `traj[s]` indexing,
-    `src/trajectories.jl:55-68`)."""
-    i = _segment_index(tube.s, s, tube.n_valid)
+    `src/trajectories.jl:55-68`).  `fields` limits the spatial columns
+    gathered (see `_lerp_spatial`)."""
+    i = _segment_index(tube.s, s, tube.n_valid, tube.s_idx)
     ds = s - tube.s[i]
     A, dt = _time_from_arc(tube, i, ds, s)
     t = tube.t[i] + dt
     V = tube.V[i] + A * dt
-    sp = _lerp_spatial(tube, s)
+    sp = _lerp_spatial(tube, s, i=i, fields=fields)
     return TrajectoryNode(t=t, s=jnp.asarray(s), V=V, A=A, **sp)
 
 
