@@ -194,6 +194,79 @@ def profile_step(cfg, tube, cache, carry_b, q0s, u0s, ocs, ts,
     return row
 
 
+# ---------------------------------------------------------------------------
+# FLOP accounting / roofline (SURVEY §6 / BASELINE north-star framing)
+# ---------------------------------------------------------------------------
+
+# v5e per-chip peaks (public: 197 bf16 TFLOP/s; fp32 MXU runs as 6-pass
+# emulation; VPU is 8x128 lanes x ~2 FLOP/cycle at ~0.94 GHz).
+PEAKS_V5E = {
+    "mxu_bf16_tflops": 197.0,
+    "mxu_fp32_tflops": 197.0 / 6.0,
+    "vpu_fp32_tflops": 8 * 128 * 2 * 0.94e9 / 1e12,   # ~1.93
+    "hbm_gbps": 819.0,
+}
+
+
+def soft_step_flops(hz, n: int, m: int, iters: float,
+                    check_every: int = 10, ns_polish: int = 1,
+                    ruiz_iters: int = 2) -> dict:
+    """Static per-instance FLOP counts for one flagship (soft condensed)
+    control step, by phase.  These are exact op counts of the algorithm as
+    written (2 FLOPs per MAC), not device-padded counts."""
+    T = hz.N_short + hz.N_long
+    d = 19                       # augmented expm stage matrix (n+2m+1)
+    jac_ode = 500                # vehicle_ode ~250 MACs, fwd-mode x12 tangents
+    lin = T * (12 * jac_ode * 2            # jacfwd duals (rough)
+               + 12 * d ** 3 * 2           # expm chain: 5 Horner + 7 squarings
+               + 2 * d * d * 2)            # extraction einsums
+    rollout = T * (6 * 6 * (n + 2) * 2 + 6 * (n + 2) * 2)
+    pbuild = T * 3 * n * n * 2 + n * n * 2
+    nodes = T * 200 * 2          # lookups + trim-free warm resample (approx)
+    ruiz = ruiz_iters * 3 * m * n * 2
+    kbuild = m * n * n * 2
+    factor = int((1.0 / 3 + 1.0 / 3 + 1.0 + 2.0 * ns_polish) * n ** 3) * 2
+    per_iter = (2 * m * n + n * n + 8 * m) * 2
+    per_check = 2 * m * n * 2
+    iterate = int(iters * per_iter + (iters / max(check_every, 1))
+                  * per_check)
+    return {
+        "nodes": nodes, "linearize": lin, "rollout_assemble":
+        rollout + pbuild, "ruiz": ruiz, "kbuild": kbuild,
+        "factor": factor, "iterate": iterate,
+        "total": (nodes + lin + rollout + pbuild + ruiz + kbuild + factor
+                  + iterate),
+    }
+
+
+def mfu_row(B: int, step_s: float, flops_per_step: dict,
+            peaks: dict = PEAKS_V5E) -> dict:
+    """One roofline JSON row: achieved FLOP/s vs peak for the whole step.
+
+    The honest headline for this workload: per-instance problems are TINY
+    (n=30, m=124), so the total algorithmic work at 100k solves/s is
+    <1 GFLOP/s — per-chip throughput is bound by VPU op issue, gathers
+    and dispatch, NOT by FLOPs.  MFU is reported against both the MXU
+    fp32 peak (the conventional denominator) and the VPU fp32 peak (the
+    unit the lane solver actually runs on)."""
+    total = flops_per_step["total"] * B
+    achieved = total / step_s
+    return {
+        "metric": "mfu_roofline",
+        "batch": B,
+        "flops_per_solve": flops_per_step["total"],
+        "achieved_gflops": round(achieved / 1e9, 2),
+        "mfu_vs_mxu_fp32_pct": round(
+            100.0 * achieved / (peaks["mxu_fp32_tflops"] * 1e12), 4),
+        "mfu_vs_vpu_fp32_pct": round(
+            100.0 * achieved / (peaks["vpu_fp32_tflops"] * 1e12), 3),
+        "phase_flops": flops_per_step,
+        "bound_by": "vpu-ops/gathers/dispatch (tiny-problem regime), "
+                    "not FLOPs",
+        "peaks_assumed": peaks,
+    }
+
+
 @contextlib.contextmanager
 def xla_trace(logdir: str = "/tmp/pigeon_xla_trace"):
     """XLA profiler hook: `with xla_trace(dir): step(...)` writes a
@@ -203,6 +276,80 @@ def xla_trace(logdir: str = "/tmp/pigeon_xla_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def _mfu_main(args):
+    """Run the flagship chained step at --batch and print the MFU row."""
+    import dataclasses
+
+    from pigeon_tpu import hji as H
+    from pigeon_tpu import mpc as M
+    from pigeon_tpu import trajectory as trj
+    from pigeon_tpu.compile import tpu_jit
+    from pigeon_tpu.config import SolverOptions
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    platform = jax.devices()[0].platform
+    cfg = M.x1_coupled_config(soft=True)
+    cfg = dataclasses.replace(cfg, solver=SolverOptions(
+        max_iter=150, check_every=150, eps_abs=1e-3, eps_rel=1e-3,
+        backend=("lanes" if platform == "tpu" else "xla"),
+        scaling_iters=2, pallas_check_inner=10))
+    tube = trj.tube_from_world(
+        "/root/reference/test/path/skidpadoval.world", pad_to=1024)
+    cache = H.inactive_cache()
+    B = args.batch
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    k0 = rng.integers(0, 900, B)
+    q0 = jnp.asarray(np.stack(
+        [np.asarray(tube.E)[k0], np.asarray(tube.N)[k0],
+         np.asarray(tube.psi)[k0], np.full(B, 6.0), np.zeros(B),
+         np.zeros(B)], axis=1), dtype)
+    t0 = jnp.asarray(np.asarray(tube.t)[k0], dtype)
+    u0 = jnp.zeros((B, 3), dtype)
+    oc = jnp.broadcast_to(jnp.asarray([1e4, 1e4, 0, 0], dtype), (B, 4))
+    carry = M.init_carry(cfg, dtype=dtype)
+    cb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                      carry)
+    chain = 10
+
+    @tpu_jit
+    def chained(cb, q0s, u0s, ts):
+        def body(state, i):
+            cb, q0s, u0s, ts = state
+            cb, u3, diag = M.mpc_step_batched(cfg, tube, cache, cb, q0s,
+                                              u0s, oc, ts)
+            return (cb, q0s, u0s, ts + 0.01), (diag.converged,
+                                               diag.iterations)
+        return jax.lax.scan(body, (cb, q0s, u0s, ts), jnp.arange(chain))
+
+    state, (conv, iters) = chained(cb, q0, u0, t0)
+    jax.block_until_ready(state[0])
+    lat = []
+    for i in range(5):
+        t1 = time.perf_counter()
+        state, (conv, iters) = chained(*state)
+        jax.block_until_ready(state[0])
+        lat.append(time.perf_counter() - t1)
+    step_s = float(np.median(lat)) / chain
+    iters_mean = float(np.asarray(iters)[-1].mean())
+
+    from pigeon_tpu.qp.condensed import get_soft_layout
+    L = get_soft_layout(cfg.hz, cfg.coupled.use_walls)
+    flops = soft_step_flops(cfg.hz, L.n, L.m, iters_mean)
+    row = mfu_row(B, step_s, flops)
+    row["step_ms"] = round(step_s * 1e3, 3)
+    row["solves_per_s"] = round(B / step_s, 1)
+    row["iters_mean"] = round(iters_mean, 1)
+    row["platform"] = platform
+    print(json.dumps(row))
 
 
 def _main():
@@ -219,7 +366,14 @@ def _main():
     ap.add_argument("--solver-iters", type=int, default=50)
     ap.add_argument("--backend", default=None)
     ap.add_argument("--factor", default="banded")
+    ap.add_argument("--mfu", action="store_true",
+                    help="measure the flagship soft-condensed step and "
+                         "emit the roofline/MFU JSON row")
     args = ap.parse_args()
+
+    if args.mfu:
+        _mfu_main(args)
+        return
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
