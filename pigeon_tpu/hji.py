@@ -211,9 +211,21 @@ def optimal_control(veh: VehicleParams, x7, gradV, u_mode: str = "max",
         Fyf, Fyr = dyn.lateral_tire_forces(veh, Ux, Uy, r, u3)
         return A * Fx + B * Fyf + C * Fyr
 
-    vals = jax.vmap(ham)(Fx_grid)            # (K, ...)
-    best = jnp.argmax(sgn * vals, axis=0)
-    Fx_opt = Fx_grid[best]
+    # Running max over the Fx samples instead of a vmapped (K, grid)
+    # stack: the HJI-VI solver evaluates this over multi-GB grids, where
+    # K materialized copies of the grid would exceed HBM.  First-max tie
+    # semantics match argmax.
+    def body(k, carry):
+        best_val, best_Fx = carry
+        Fx = Fx_grid[k]
+        v = sgn * ham(Fx)
+        better = v > best_val
+        return (jnp.where(better, v, best_val),
+                jnp.where(better, Fx, best_Fx))
+
+    v0 = sgn * ham(Fx_grid[0])
+    best_val, Fx_opt = jax.lax.fori_loop(
+        1, n_samples, body, (v0, jnp.broadcast_to(Fx_grid[0], v0.shape)))
     return jnp.stack([delta_opt, Fx_opt], axis=-1)
 
 

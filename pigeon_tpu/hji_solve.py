@@ -20,9 +20,13 @@ cars minus a collision margin, so V < 0 marks states from which the human
 can force a collision — matching the reference's `V <= eps` activation
 semantics (`src/HJI_computation.jl:160-170`).
 
-Everything is elementwise + axis shifts over the 7-D grid: pure VPU work
-that runs a full sweep over ~1M grid points in milliseconds on TPU,
-bringing the reference's multi-hour offline precompute on-device.
+Everything is elementwise + axis shifts over the 7-D grid: pure VPU work.
+Measured on one v5e chip (scripts/hji_production.py, HJI_PROD.json): the
+1.8M-point prototype grid runs ~140 ms/sweep (400 sweeps ~56 s); the
+13.75M-point production DEFAULT_SHAPE about 7.5x that — minutes on-device
+for the solve the reference obtains from a multi-hour offline precompute
+(`deps/build.jl:1-4`).  Odd tiny trailing axes vectorize poorly on the
+(8, 128) vector registers; the measured rate reflects that.
 """
 
 from __future__ import annotations
@@ -46,7 +50,14 @@ DEFAULT_BOUNDS = (
     (0.5, 18.0),      # V human
     (-1.5, 1.5),      # r
 )
-DEFAULT_SHAPE = (15, 11, 9, 7, 5, 7, 5)
+# Production default (raised round 3; ~1.5x per axis / 7.5x the points of
+# the original prototyping grid): 13.75M points, solved + timed on a v5e
+# chip by scripts/hji_production.py — see HJI_PROD.json.  A 2x-per-axis
+# 54M grid exceeds single-chip HBM during the sweep (XLA planned 39.8 G);
+# shard the grid's leading axis over a mesh for larger grids.  Tests pass
+# explicit small shapes.
+DEFAULT_SHAPE = (21, 15, 11, 9, 7, 9, 7)
+PROTO_SHAPE = (15, 11, 9, 7, 5, 7, 5)
 
 
 def _axis_diffs(V, h, axis):
@@ -92,13 +103,14 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
 
     def sweep(carry, _):
         V, t = carry
-        Dps, Dms = [], []
-        for ax in range(ndim):
-            Dp, Dm = _axis_diffs(V, hs_j[ax], ax)
-            Dps.append(Dp)
-            Dms.append(Dm)
-        gradV = jnp.stack([(Dp + Dm) * 0.5 for Dp, Dm in zip(Dps, Dms)],
-                          axis=-1)
+        # two passes over axes: gradV first, dissipation after f is known
+        # — keeping only one (Dp, Dm) pair live at a time caps the peak
+        # footprint at ~4 grid-sized arrays instead of 2*ndim (the
+        # production 7-D grid is ~50M points; 14 live copies would not
+        # fit HBM).  The shifts are recomputed in pass 2 (cheap VPU work).
+        gradV = jnp.stack(
+            [sum(_axis_diffs(V, hs_j[ax], ax)) * 0.5
+             for ax in range(ndim)], axis=-1)
         f = flow_fn(gradV)                                # (..., N)
         H = jnp.sum(gradV * f, axis=-1)
         # Global (per-axis) Lax-Friedrichs dissipation.  In this module's
@@ -113,8 +125,11 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
         # amplifies a sawtooth — validated against the analytic isotropic
         # pursuit game in tests/test_hji_validation.py.
         alpha_g = jnp.max(jnp.abs(f).reshape(-1, ndim), axis=0)   # (N,)
-        diss = sum(alpha_g[ax] * (Dps[ax] - Dms[ax]) * 0.5
-                   for ax in range(ndim))
+
+        def diss_ax(ax):
+            Dp, Dm = _axis_diffs(V, hs_j[ax], ax)
+            return alpha_g[ax] * (Dp - Dm) * 0.5
+        diss = sum(diss_ax(ax) for ax in range(ndim))
         dt = cfl / jnp.maximum(jnp.sum(alpha_g / hs_j), 1e-6)
         V_new = jnp.minimum(l, V + dt * (jnp.minimum(0.0, H) + diss))
         V_new = jnp.maximum(V_new, lo)
@@ -144,11 +159,20 @@ def solve_hji(veh: VehicleParams,
     update magnitudes (convergence trace, shape (n_sweeps,))."""
     knots = [np.linspace(lo, hi, k) for (lo, hi), k in zip(bounds, shape)]
     hs = [float(k[1] - k[0]) for k in knots]
-    grids = np.meshgrid(*knots, indexing="ij")
-    X = jnp.asarray(np.stack(grids, axis=-1), dtype)   # (..., 7)
-    l = collision_distance(X, margin).astype(dtype)
+    knots_j = [jnp.asarray(k, dtype) for k in knots]
+
+    def make_X():
+        # build the coordinate stack INSIDE the traced computation from
+        # the tiny 1-D knot vectors: embedding a multi-GB meshgrid as an
+        # HLO constant would blow compile-time memory at production grids
+        grids = jnp.meshgrid(*knots_j, indexing="ij")
+        return jnp.stack(grids, axis=-1)                   # (..., 7)
+
+    l = jax.jit(lambda: collision_distance(make_X(), margin)
+                .astype(dtype))()
 
     def flow(gradV):
+        X = make_X()
         uR = hji_mod.optimal_control(veh, X, gradV, "max",
                                      n_samples=fx_samples)
         uH = hji_mod.optimal_disturbance(veh, X, gradV, "min")

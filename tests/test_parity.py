@@ -54,6 +54,17 @@ def test_coupled_controls_match_stable_reference_algorithm(
     assert r.max_e_faithful_m < 0.5 and r.max_e_deviation_m < 0.5
 
 
+def test_second_path_curvy_decoupled():
+    """Second CI path (curvy: |kappa| spikes ~1.0 1/m, the stress
+    input): literal reference algorithm, decoupled — full-prefix
+    agreement like the committed PARITY.json table."""
+    r = parity.compare("curvy", "decoupled", n_steps=STEPS)
+    assert r.prefix_steps == STEPS
+    assert r.conv_frac_faithful == 1.0 and r.conv_frac_deviation == 1.0
+    assert r.max_d_delta_rad < 1e-4
+    assert r.max_d_Fx_N < 0.1
+
+
 def test_coupled_literal_rk4_breaks_its_own_solver():
     """The literal reference linearization (ONE RK4 step over dt_long=0.2,
     src/coupled_lat_long.jl:262) amplifies the stiff lateral tire modes
