@@ -50,13 +50,14 @@ DEFAULT_BOUNDS = (
     (0.5, 18.0),      # V human
     (-1.5, 1.5),      # r
 )
-# Production default (raised round 3; ~1.5x per axis / 7.5x the points of
-# the original prototyping grid): 13.75M points, solved + timed on a v5e
-# chip by scripts/hji_production.py — see HJI_PROD.json.  A 2x-per-axis
-# 54M grid exceeds single-chip HBM during the sweep (XLA planned 39.8 G);
-# shard the grid's leading axis over a mesh for larger grids.  Tests pass
-# explicit small shapes.
-DEFAULT_SHAPE = (21, 15, 11, 9, 7, 9, 7)
+# Production default (raised round 3; ~1.3x per axis / 5.3x the points of
+# the original prototyping grid): 9.65M points, solved + timed on a v5e
+# chip by scripts/hji_production.py — see HJI_PROD.json.  Larger grids hit
+# single-chip limits in this environment: a 2x-per-axis 54M grid exceeds
+# HBM at compile time (XLA planned 39.8 G), and a 13.75M grid crashed the
+# TPU worker at runtime (reproducibly); shard the grid's leading axis
+# over a mesh for larger grids.  Tests pass explicit small shapes.
+DEFAULT_SHAPE = (17, 13, 11, 9, 7, 9, 7)
 PROTO_SHAPE = (15, 11, 9, 7, 5, 7, 5)
 
 

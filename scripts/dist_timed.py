@@ -1,0 +1,152 @@
+"""Timed 2-process `jax.distributed` MPC step (the multi-host wiring,
+CPU transport standing in for DCN).
+
+Two OS processes join a jax.distributed cluster (one CPU device each),
+build the global 2-device mesh, and run the shard_map'd batched MPC step
+(`parallel/shard.py make_sharded_step`) with the fleet-metric psum
+crossing the process boundary.  Reports per-step wall time from process 0
+alongside the single-process time for the same per-device batch — the
+measurable software/transport overhead of the distributed wiring in this
+single-host environment (real >=2-host ICI/DCN efficiency needs real
+hosts; BASELINE's >=85% target is validated here only in the sense that
+the wiring adds <~15% overhead at this scale).
+
+Writes SCALING.json (merging scripts/scaling_bench.py output if passed).
+
+Usage: python scripts/dist_timed.py [--per-device 32] [--steps 5]
+       [--merge /tmp/scaling.log]
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+_WORKER = r"""
+import os, sys, time, json
+import numpy as np
+proc_id = int(sys.argv[1]); port = sys.argv[2]
+B_per = int(sys.argv[3]); steps = int(sys.argv[4])
+n_proc = int(sys.argv[5])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_NUM_CPU_DEVICES", "1")
+import jax
+jax.config.update("jax_num_cpu_devices", 1)
+if n_proc > 1:
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=n_proc, process_id=proc_id)
+import jax.numpy as jnp
+from pigeon_tpu import hji as H
+from pigeon_tpu import mpc as M
+from pigeon_tpu import trajectory as trj
+from pigeon_tpu.config import SolverOptions
+from pigeon_tpu.parallel.shard import (make_mesh_2d, make_sharded_step,
+                                       shard_batch_dp)
+import dataclasses
+
+devs = jax.devices()
+assert len(devs) == n_proc, devs
+mesh = make_mesh_2d(len(devs), tp=1)
+cfg = M.x1_coupled_config(soft=True)
+cfg = dataclasses.replace(cfg, solver=SolverOptions(
+    max_iter=150, check_every=150, eps_abs=1e-3, eps_rel=1e-3,
+    backend="xla", scaling_iters=2))
+tube = trj.straight_trajectory(200.0, 5.0, pad_to=64)
+cache = H.inactive_cache()
+B = B_per * len(devs)
+carry = M.init_carry(cfg, dtype=jnp.float32)
+rep = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+q0 = rep(jnp.asarray([0.3, 0.0, 0.02, 5.0, 0.0, 0.0], jnp.float32))
+args = (jax.tree.map(rep, carry), q0,
+        rep(jnp.zeros(3, jnp.float32)),
+        rep(jnp.asarray([1e4, 1e4, 0.0, 0.0], jnp.float32)),
+        jnp.zeros((B,), jnp.float32))
+args = shard_batch_dp(args, mesh)
+step = make_sharded_step(cfg, tube, cache, mesh)
+with mesh:
+    stepf = jax.jit(step)
+    out = stepf(*args)
+    jax.block_until_ready(out[1])
+    lat = []
+    for i in range(steps):
+        t0 = time.perf_counter()
+        out = stepf(*args)
+        jax.block_until_ready(out[1])
+        lat.append(time.perf_counter() - t0)
+if proc_id == 0:
+    import numpy as _np
+    print(json.dumps({
+        "n_processes": n_proc, "batch": B,
+        "step_p50_ms": round(float(_np.median(lat)) * 1e3, 2),
+        "fleet_converged": float(out[3].n_converged),
+        "fleet_total": float(out[3].n_scenarios)}), flush=True)
+"""
+
+
+def run(n_proc, per_device, steps):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _WORKER, str(i), str(port),
+         str(per_device), str(steps), str(n_proc)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(n_proc)]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(e[-2000:])
+    for o, _ in outs:
+        for line in o.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+    raise RuntimeError("no result line")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--merge", default=None,
+                    help="scaling_bench.py log to merge into SCALING.json")
+    args = ap.parse_args()
+
+    one = run(1, args.per_device, args.steps)
+    two = run(2, args.per_device, args.steps)
+    overhead = two["step_p50_ms"] / max(one["step_p50_ms"], 1e-9) - 1.0
+    out = {
+        "metric": "distributed_scaling",
+        "note": ("2-process jax.distributed cluster on one host (CPU "
+                 "transport standing in for DCN); same per-device batch. "
+                 "Real >=2-host ICI/DCN measurement requires hardware "
+                 "this environment does not provide."),
+        "single_process": one,
+        "two_process": two,
+        "cross_process_step_overhead_frac": round(overhead, 4),
+    }
+    if args.merge and os.path.exists(args.merge):
+        rows = []
+        for line in open(args.merge):
+            line = line.strip()
+            if line.startswith("{") and "summary" not in line:
+                rows.append(json.loads(line))
+        out["virtual_device_weak_scaling"] = {
+            "note": ("8 virtual CPU devices share this host's 4 physical "
+                     "cores and ONE XLA intra-op thread pool, so "
+                     "throughput saturates at the core count; the "
+                     "efficiency column measures core contention, not "
+                     "sharding overhead"),
+            "rows": rows,
+        }
+    with open("/root/repo/SCALING.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

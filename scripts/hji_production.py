@@ -1,17 +1,20 @@
 """Production-resolution 7-D HJI solve on the TPU + refinement study.
 
-VERDICT r2 item 5: solve the avoid-set HJI-VI at >=2x-per-axis resolution
-(the raised DEFAULT_SHAPE, 54M grid points), TIME it on-chip (per-sweep
-and total — substantiating/correcting hji_solve.py's cost claims), and
-quantify coarse->fine refinement deltas on the Monte-Carlo scenario set:
+VERDICT r2 item 5: solve the avoid-set HJI-VI at the raised production
+DEFAULT_SHAPE (13.75M grid points; a full 2x-per-axis 54M grid exceeds
+single-chip HBM — XLA planned 39.8 G — and would need the grid sharded
+over a mesh), TIME it on-chip (per-sweep and total — substantiating /
+correcting hji_solve.py's original cost claims), and quantify
+coarse->fine refinement deltas on the Monte-Carlo scenario set:
 filter-activation agreement and constraint half-plane changes.
 
-Artifacts: HJI_PROD.json (timings + refinement metrics) and
-assets/hji_cache_proto.npz (the prototype-grid cache used by the safety
-A/B and CI tests; the production cache is ~450 MB and is regenerated
-on-device in ~a minute rather than committed).
+Artifacts (saved INCREMENTALLY so a mid-run TPU fault loses nothing):
+HJI_PROD.json and assets/hji_cache_proto.npz (prototype-grid cache used
+by the safety A/B and CI; the production cache is ~450 MB and is
+regenerated on-device rather than committed).
 
-Usage: python scripts/hji_production.py [--sweeps 400]
+Usage: python scripts/hji_production.py [--sweeps 600]
+       [--phase proto|production|refine|all]
 """
 
 import argparse
@@ -33,6 +36,23 @@ from pigeon_tpu import montecarlo as mc
 from pigeon_tpu import trajectory as trj
 from pigeon_tpu.config import x1_params
 
+OUT = "/root/repo/HJI_PROD.json"
+PROTO_NPZ = "/root/repo/assets/hji_cache_proto.npz"
+PROD_NPZ = "/tmp/hji_cache_production.npz"
+
+
+def _load():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {"metric": "hji_production_solve",
+            "platform": jax.devices()[0].platform}
+
+
+def _save(out):
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+
 
 def timed_solve(veh, shape, sweeps, fx_samples=15):
     t0 = time.perf_counter()
@@ -49,48 +69,36 @@ def timed_solve(veh, shape, sweeps, fx_samples=15):
     return cache, deltas, total, run_s
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sweeps", type=int, default=600)
-    ap.add_argument("--scenarios", type=int, default=512)
-    args = ap.parse_args()
-    veh = x1_params()
+def solve_phase(out, veh, name, shape, sweeps, npz):
+    n_pts = int(np.prod(shape))
+    cache, deltas, total_s, run_s = timed_solve(veh, shape, sweeps)
+    out[name] = {
+        "shape": list(shape), "grid_points": n_pts, "sweeps": sweeps,
+        "total_first_s": round(total_s, 2), "run_s": round(run_s, 2),
+        "ms_per_sweep": round(run_s / sweeps * 1e3, 2),
+        "final_delta_sup": float(deltas[-1]),
+        "converged_1e-3": bool(deltas[-1] < 1e-3),
+    }
+    os.makedirs(os.path.dirname(npz), exist_ok=True)
+    HS.save_cache(npz, cache)
+    _save(out)
+    print(json.dumps({name: out[name]}), flush=True)
 
-    out = {"metric": "hji_production_solve",
-           "platform": jax.devices()[0].platform}
 
-    caches = {}
-    for name, shape in (("proto", HS.PROTO_SHAPE),
-                        ("production", HS.DEFAULT_SHAPE)):
-        n_pts = int(np.prod(shape))
-        cache, deltas, total_s, run_s = timed_solve(veh, shape,
-                                                    args.sweeps)
-        caches[name] = cache
-        out[name] = {
-            "shape": list(shape),
-            "grid_points": n_pts,
-            "sweeps": args.sweeps,
-            "total_first_s": round(total_s, 2),
-            "run_s": round(run_s, 2),
-            "ms_per_sweep": round(run_s / args.sweeps * 1e3, 2),
-            "final_delta_sup": float(deltas[-1]),
-            "converged_1e-3": bool(deltas[-1] < 1e-3),
-        }
-        print(json.dumps({name: out[name]}), flush=True)
-
-    # ---- refinement study on the MC scenario set -------------------------
+def refine_phase(out, veh, scenarios):
+    caches = {"proto": HS.load_cache(PROTO_NPZ),
+              "production": HS.load_cache(PROD_NPZ)}
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)
-    scen = mc.sample_scenarios(tube, args.scenarios, seed=1)
+    scen = mc.sample_scenarios(tube, scenarios, seed=1)
     x_rel = jax.vmap(lambda q, o: hji_mod.relative_state(q, o))(
         scen.q0, scen.other0)
-
     eps = 0.05
     rows = {}
     for name, cache in caches.items():
-        V, gradV = jax.vmap(lambda x: hji_mod.interpolate(cache, x))(x_rel)
-        u_lin = jnp.zeros((args.scenarios, 2), x_rel.dtype)
-        M_, b_, V2, g2 = jax.vmap(
+        V, _ = jax.vmap(lambda x: hji_mod.interpolate(cache, x))(x_rel)
+        u_lin = jnp.zeros((scenarios, 2), x_rel.dtype)
+        M_, b_, _, _ = jax.vmap(
             lambda x, u: hji_mod.reachability_constraint(
                 veh, cache, x, eps, u))(x_rel, u_lin)
         rows[name] = (np.asarray(V), np.asarray(M_), np.asarray(b_))
@@ -99,7 +107,7 @@ def main():
     act_c, act_f = Vc <= eps, Vf <= eps
     both = act_c & act_f
     out["refinement"] = {
-        "scenarios": args.scenarios,
+        "scenarios": scenarios,
         "active_frac_proto": round(float(act_c.mean()), 4),
         "active_frac_production": round(float(act_f.mean()), 4),
         "activation_agreement": round(float((act_c == act_f).mean()), 4),
@@ -114,14 +122,29 @@ def main():
             round(float(np.percentile(np.abs(bf - bc)[both], 99)), 4)
             if both.any() else None),
     }
-
-    os.makedirs("/root/repo/assets", exist_ok=True)
-    HS.save_cache("/root/repo/assets/hji_cache_proto.npz", caches["proto"])
     out["proto_cache_file"] = "assets/hji_cache_proto.npz"
+    _save(out)
+    print(json.dumps(out["refinement"]), flush=True)
 
-    with open("/root/repo/HJI_PROD.json", "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweeps", type=int, default=600)
+    ap.add_argument("--scenarios", type=int, default=512)
+    ap.add_argument("--phase", default="all",
+                    choices=["proto", "production", "refine", "all"])
+    args = ap.parse_args()
+    veh = x1_params()
+    out = _load()
+
+    if args.phase in ("proto", "all"):
+        solve_phase(out, veh, "proto", HS.PROTO_SHAPE, args.sweeps,
+                    PROTO_NPZ)
+    if args.phase in ("production", "all"):
+        solve_phase(out, veh, "production", HS.DEFAULT_SHAPE, args.sweeps,
+                    PROD_NPZ)
+    if args.phase in ("refine", "all"):
+        refine_phase(out, veh, args.scenarios)
 
 
 if __name__ == "__main__":
