@@ -80,7 +80,7 @@ def collision_distance(x7, margin: float):
 
 
 def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
-                 floor=None):
+                 floor=None, sweep_chunk: int = 0):
     """Generic N-D avoid-set HJI-VI level-set solver (dimension-agnostic
     core; the 7-D vehicle problem and the validation games share it).
 
@@ -93,6 +93,11 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
                flow field (..., N) under u* (maximizing p.f) and d*
                (minimizing).  Any state dependence is closed over.
     floor    : mathematical lower bound of V (defaults to min(l)).
+    sweep_chunk: 0 runs all sweeps in ONE device program; k > 0 runs
+               ceil(n_sweeps/k) chunked launches carrying V on device —
+               REQUIRED for production grids in this environment, where a
+               single multi-minute device execution crashes the remote
+               TPU worker (watchdog); also yields incremental progress.
 
     Returns (V, deltas, times): the converged value grid, per-sweep
     sup-norm updates, and the cumulative pseudo-time after each sweep
@@ -137,13 +142,34 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
         delta = jnp.max(jnp.abs(V_new - V))
         return (V_new, t + dt), (delta, t + dt)
 
-    @jax.jit
-    def run(V0):
-        (V, _), (deltas, times) = jax.lax.scan(
-            sweep, (V0, jnp.asarray(0.0, l.dtype)), None, length=n_sweeps)
-        return V, deltas, times
+    if sweep_chunk <= 0 or sweep_chunk >= n_sweeps:
+        @jax.jit
+        def run(V0):
+            (V, _), (deltas, times) = jax.lax.scan(
+                sweep, (V0, jnp.asarray(0.0, l.dtype)), None,
+                length=n_sweeps)
+            return V, deltas, times
 
-    return run(l)
+        return run(l)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_chunk(V0, t0, k):
+        (V, t), (deltas, times) = jax.lax.scan(
+            sweep, (V0, t0), None, length=k)
+        return V, t, deltas, times
+
+    V = l
+    t = jnp.asarray(0.0, l.dtype)
+    d_all, t_all = [], []
+    left = n_sweeps
+    while left > 0:
+        k = min(sweep_chunk, left)
+        V, t, deltas, times = run_chunk(V, t, k)
+        jax.block_until_ready(V)
+        d_all.append(deltas)
+        t_all.append(times)
+        left -= k
+    return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
 
 
 def solve_hji(veh: VehicleParams,
@@ -153,6 +179,7 @@ def solve_hji(veh: VehicleParams,
               n_sweeps: int = 400,
               cfl: float = 0.5,
               fx_samples: int = 15,
+              sweep_chunk: int = 0,
               dtype=jnp.float32) -> "tuple[hji_mod.HJICache, np.ndarray]":
     """Solve the avoid HJI-VI on a 7-D grid.
 
@@ -180,7 +207,8 @@ def solve_hji(veh: VehicleParams,
         return hji_mod.relative_dynamics(veh, X, uR, uH)     # (..., 7)
 
     # mathematical floor: V = min-over-time of l >= min(l) = -margin
-    V, deltas, _ = solve_hji_vi(l, hs, flow, n_sweeps, cfl, floor=-margin)
+    V, deltas, _ = solve_hji_vi(l, hs, flow, n_sweeps, cfl, floor=-margin,
+                                sweep_chunk=sweep_chunk)
 
     # gradient field for the cache (central differences of the solution)
     hs_j = jnp.asarray(hs, dtype)
@@ -192,18 +220,37 @@ def solve_hji(veh: VehicleParams,
     return cache, np.asarray(deltas)
 
 
-def save_cache(path: str, cache: hji_mod.HJICache):
+def save_cache(path: str, cache: hji_mod.HJICache,
+               include_grad: bool = True):
     """Persist as npz (the orbax/npz analog of the reference's JLD2
-    save, src/HJI_computation.jl:59-64)."""
+    save, src/HJI_computation.jl:59-64).
+
+    include_grad=False stores V + knots only (1/8 the bytes — the
+    committed CI asset); `load_cache` recomputes gradV by the same
+    central differences `solve_hji` used to build it."""
+    arrs = {"V": np.asarray(cache.V).reshape(cache.dims)}
+    if include_grad:
+        arrs["gradV"] = np.asarray(cache.gradV).reshape(
+            cache.dims + (7,))
     np.savez_compressed(
-        path,
-        V=np.asarray(cache.V).reshape(cache.dims),
-        gradV=np.asarray(cache.gradV).reshape(cache.dims + (7,)),
+        path, **arrs,
         **{f"knots_{i}": np.asarray(k)
            for i, k in enumerate(cache.knots)})
+
+
+def grad_from_V(V, knots):
+    """Central-difference gradient field (how solve_hji builds the
+    cache's gradV from the converged value grid)."""
+    hs_j = jnp.asarray([k[1] - k[0] for k in knots], jnp.float32)
+    Vj = jnp.asarray(V, jnp.float32)
+    return np.asarray(jnp.stack(
+        [sum(_axis_diffs(Vj, hs_j[ax], ax)) * 0.5 for ax in range(7)],
+        axis=-1))
 
 
 def load_cache(path: str) -> hji_mod.HJICache:
     d = np.load(path)
     knots = [d[f"knots_{i}"] for i in range(7)]
-    return hji_mod.make_cache(knots, d["V"], d["gradV"])
+    gradV = (d["gradV"] if "gradV" in d.files
+             else grad_from_V(d["V"], knots))
+    return hji_mod.make_cache(knots, d["V"], gradV)

@@ -54,16 +54,18 @@ def _save(out):
         json.dump(out, f, indent=1)
 
 
-def timed_solve(veh, shape, sweeps, fx_samples=15):
+def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50):
+    # chunked launches: a single multi-minute device execution crashes
+    # the remote TPU worker (watchdog); ~30 s chunks are safe
     t0 = time.perf_counter()
     cache, deltas = HS.solve_hji(veh, shape=shape, n_sweeps=sweeps,
-                                 fx_samples=fx_samples)
+                                 fx_samples=fx_samples, sweep_chunk=chunk)
     jax.block_until_ready(cache.V)
     total = time.perf_counter() - t0
     # re-run to split compile from execute
     t1 = time.perf_counter()
     cache, deltas = HS.solve_hji(veh, shape=shape, n_sweeps=sweeps,
-                                 fx_samples=fx_samples)
+                                 fx_samples=fx_samples, sweep_chunk=chunk)
     jax.block_until_ready(cache.V)
     run_s = time.perf_counter() - t1
     return cache, deltas, total, run_s
