@@ -22,11 +22,12 @@ semantics (`src/HJI_computation.jl:160-170`).
 
 Everything is elementwise + axis shifts over the 7-D grid: pure VPU work.
 Measured on one v5e chip (scripts/hji_production.py, HJI_PROD.json): the
-1.8M-point prototype grid runs ~140 ms/sweep (400 sweeps ~56 s); the
-13.75M-point production DEFAULT_SHAPE about 7.5x that — minutes on-device
-for the solve the reference obtains from a multi-hour offline precompute
-(`deps/build.jl:1-4`).  Odd tiny trailing axes vectorize poorly on the
-(8, 128) vector registers; the measured rate reflects that.
+1.8M-point prototype grid runs ~112 ms/sweep (600 sweeps ~67 s); the
+9.65M-point production DEFAULT_SHAPE ~1.66 s/sweep (600 sweeps ~17 min)
+— on-device for the solve the reference obtains from a multi-hour
+offline precompute (`deps/build.jl:1-4`).  Odd tiny trailing axes
+vectorize poorly on the (8, 128) vector registers; the measured rate
+reflects that.
 """
 
 from __future__ import annotations

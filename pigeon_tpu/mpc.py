@@ -270,8 +270,11 @@ def _nodes_coupled_warm(cfg: MPCConfig, tube, q0, u0, ts, carry: MPCCarry):
     nxq = carry.q_prev.shape[-1]
     j = jnp.clip(jnp.searchsorted(carry.prev_ts, tq, side="right") - 1,
                  0, carry.prev_ts.shape[0] - 2)
-    lam = jnp.clip((tq - carry.prev_ts[j])
-                   / (carry.prev_ts[j + 1] - carry.prev_ts[j]), 0.0, 1.0)
+    # duplicate-knot guard: compute_time_steps yields strictly increasing
+    # ts, but a degenerate carry must clamp (as jnp.interp would), not NaN
+    dt_seg = jnp.maximum(carry.prev_ts[j + 1] - carry.prev_ts[j],
+                         jnp.asarray(1e-9, carry.prev_ts.dtype))
+    lam = jnp.clip((tq - carry.prev_ts[j]) / dt_seg, 0.0, 1.0)
     vals = Y[j] + lam[:, None] * (Y[j + 1] - Y[j])
     q_tail, u_tail = vals[:, :nxq], vals[:, nxq:]
     s_tail = jax.vmap(lambda t: trj.eval_time(tube, t, fields=()).s)(
@@ -377,7 +380,8 @@ class _PreAux(NamedTuple):
 
 def _banded_plan_for(cfg: MPCConfig):
     if (cfg.solver.factor_method == "banded"
-            and cfg.formulation == "coupled" and not cfg.condensed):
+            and cfg.formulation == "coupled" and not cfg.condensed
+            and not cfg.soft):
         from pigeon_tpu.solver.banded import coupled_stage_plan
         return coupled_stage_plan(cfg.hz, cfg.coupled.use_walls)
     return None

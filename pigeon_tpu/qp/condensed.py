@@ -413,6 +413,51 @@ class SoftQP(NamedTuple):
     g: jnp.ndarray         # (T, 6) offsets (pins folded in)
 
 
+# Horizon length above which the rollout switches from the sequential
+# static unroll to the log-N associative scan.  MEASURED on a v5e chip at
+# B=8192 (BENCH r3->r4): at T=15 the unroll runs the fleet step at 77 ms
+# vs 165 ms for associative_scan — XLA lowers the scan's combine rounds
+# into gather/concat traffic over the (B, T, 6, n) operands that dwarfs
+# the 6x6 matmul work at tiny T.  The scan's ceil(log2 T)-depth critical
+# path only pays off once T is large enough that T sequential batched
+# matmul dispatches dominate (SURVEY §5 long-context obligation: horizons
+# far beyond the reference's N<=31).
+ROLLOUT_SCAN_MIN_T = 64
+
+
+def rollout_affine_scan(A_all, E):
+    """Cumulative affine recursion M_t = A_t M_{t-1} + E_t via
+    jax.lax.associative_scan: ceil(log2 T) rounds of batched 6x6 matmuls
+    (combine: (A2,M2) o (A1,M1) = (A2 A1, A2 M1 + M2)) — the log-N
+    horizon factorization for long-horizon configs."""
+    def combine(x, y):
+        Ax, Mx = x
+        Ay, My = y
+        return Ay @ Ax, Ay @ Mx + My
+
+    _, M_cum = jax.lax.associative_scan(combine, (A_all, E), axis=0)
+    return M_cum
+
+
+def rollout_affine_unroll(A_all, E):
+    """Same recursion as a static sequential unroll — the fast form for
+    the reference-scale horizons (T <= 31), where per-stage batched
+    (6,6)@(6,n+1) matmuls fuse cleanly."""
+    T = E.shape[0]
+    M = E[0]
+    out = [M]
+    for t in range(1, T):
+        M = A_all[t] @ M + E[t]
+        out.append(M)
+    return jnp.stack(out)
+
+
+def rollout_affine(A_all, E):
+    if E.shape[0] >= ROLLOUT_SCAN_MIN_T:
+        return rollout_affine_scan(A_all, E)
+    return rollout_affine_unroll(A_all, E)
+
+
 def build_qp_soft(veh: VehicleParams, ctl: CoupledControlParams,
                   hz: HorizonParams, data: CoupledStageData,
                   lin_method: str = "expm", lin_substeps: int = 1
@@ -457,36 +502,54 @@ def build_qp_soft(veh: VehicleParams, ctl: CoupledControlParams,
 
     # ---- rollout over the FREE u columns, pins folded into the offset --
     # q_{t+1} = G[t] u_free + g[t];  u_free = normalized u at knots 1..N-1.
-    # The affine recursion G_t = A_t G_{t-1} + E_t is computed by an
-    # ASSOCIATIVE SCAN over (A, [E | e]) pairs — the log-N horizon
-    # factorization of SURVEY §5's long-context obligation: ceil(log2 T)
-    # rounds of batched 6x6 matmuls instead of T sequential dispatches
-    # (combine: (A2,M2) o (A1,M1) = (A2 A1, A2 M1 + M2)).
-    E = jnp.zeros((T, 6, n + 1), dtype)
-    # per-stage input inserts: stage 0's B0 hits the pinned u0 (-> offset),
-    # its Bf the first free knot; stage t>=1 couples knots t, t+1
-    E = E.at[0, :, 0:2].add(Bfn[0])
-    cols0 = 2 * (jnp.arange(1, T) - 1)
-    E = E.at[jnp.arange(1, T)[:, None, None],
-             jnp.arange(6)[None, :, None],
-             (cols0[:, None, None] + jnp.arange(2)[None, None, :])
-             ].add(B0n[1:T])
-    E = E.at[jnp.arange(1, T)[:, None, None],
-             jnp.arange(6)[None, :, None],
-             (cols0[:, None, None] + 2 + jnp.arange(2)[None, None, :])
-             ].add(Bfn[1:T])
-    e0 = A_all[0] @ q_curr + c_all[0] + B0n[0] @ u_curr
-    e_col = jnp.concatenate([e0[None], c_all[1:T]])          # (T, 6)
-    E = E.at[:, :, n].add(e_col)
-
-    def combine(x, y):
-        Ax, Mx = x
-        Ay, My = y
-        return Ay @ Ax, Ay @ Mx + My
-
-    _, M_cum = jax.lax.associative_scan(combine, (A_all, E), axis=0)
-    G = M_cum[:, :, :n]                          # (T, 6, n)
-    g = M_cum[:, :, n]                           # (T, 6)
+    if T >= ROLLOUT_SCAN_MIN_T:
+        # long-horizon path: gather-index insert construction + log-N
+        # associative scan (SURVEY §5).  The scatter + scan lowering is
+        # MEASURABLY slower than the static unroll at reference-scale T
+        # (77 -> 165 ms fleet step at B=8192, T=15 on v5e) but its
+        # ceil(log2 T) critical path wins for long horizons.
+        E = jnp.zeros((T, 6, n + 1), dtype)
+        # stage 0's B0 hits the pinned u0 (-> offset), its Bf the first
+        # free knot; stage t>=1 couples knots t, t+1
+        E = E.at[0, :, 0:2].add(Bfn[0])
+        cols0 = 2 * (jnp.arange(1, T) - 1)
+        E = E.at[jnp.arange(1, T)[:, None, None],
+                 jnp.arange(6)[None, :, None],
+                 (cols0[:, None, None] + jnp.arange(2)[None, None, :])
+                 ].add(B0n[1:T])
+        E = E.at[jnp.arange(1, T)[:, None, None],
+                 jnp.arange(6)[None, :, None],
+                 (cols0[:, None, None] + 2 + jnp.arange(2)[None, None, :])
+                 ].add(Bfn[1:T])
+        e0 = A_all[0] @ q_curr + c_all[0] + B0n[0] @ u_curr
+        e_col = jnp.concatenate([e0[None], c_all[1:T]])      # (T, 6)
+        E = E.at[:, :, n].add(e_col)
+        M_cum = rollout_affine_scan(A_all, E)
+        G = M_cum[:, :, :n]                      # (T, 6, n)
+        g = M_cum[:, :, n]                       # (T, 6)
+    else:
+        # reference-scale horizons: static unroll with STATIC-slice
+        # inserts — per-stage (6,6)@(6,n) batched matmuls +
+        # dynamic_update_slice, which XLA fuses cleanly (no scatter HLO)
+        Gp = jnp.zeros((6, n), dtype)
+        gp = q_curr
+        G_list, g_list = [], []
+        for t in range(T):                       # static unroll
+            Gn = A_all[t] @ Gp
+            gn = A_all[t] @ gp + c_all[t]
+            if t == 0:
+                # B0 multiplies the pinned u0; Bf the first free knot
+                gn = gn + B0n[0] @ u_curr
+                Gn = Gn.at[:, 0:2].add(Bfn[0])
+            else:
+                c0 = 2 * (t - 1)
+                Gn = Gn.at[:, c0:c0 + 2].add(B0n[t])
+                Gn = Gn.at[:, c0 + 2:c0 + 4].add(Bfn[t])
+            G_list.append(Gn)
+            g_list.append(gn)
+            Gp, gp = Gn, gn
+        G = jnp.stack(G_list)                    # (T, 6, n)
+        g = jnp.stack(g_list)                    # (T, 6)
 
     # per-stage envelope + bounds at the t+1 NODE states (reference
     # :356-366)

@@ -113,8 +113,14 @@ def _ruiz(qp: QPData, iters: int):
         Ps = absP * D * D * c                   # |diagonal| of scaled P
         col_x = jnp.maximum(Ps, jnp.max(absA * E[:, None], axis=0) * D)
         col_y = jnp.max(absA * D[None, :], axis=1) * E
-        D = D / jnp.sqrt(jnp.maximum(col_x, eps))
-        E = E / jnp.sqrt(jnp.maximum(col_y, eps))
+        # zero-norm rows/columns stay UNSCALED (OSQP convention): the eps
+        # floor alone would multiply their scale by 1e6 per sweep — an
+        # all-zero row (e.g. an inactive HJI constraint) overflows E to
+        # inf within ~7 sweeps and NaN-poisons the scaled bounds
+        D = D / jnp.sqrt(jnp.where(col_x <= eps, 1.0,
+                                   jnp.maximum(col_x, eps)))
+        E = E / jnp.sqrt(jnp.where(col_y <= eps, 1.0,
+                                   jnp.maximum(col_y, eps)))
         # cost scaling: normalize the scaled gradient magnitude
         Ps = absP * D * D * c
         qs = c * D * absq

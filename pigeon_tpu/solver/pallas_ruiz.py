@@ -66,10 +66,13 @@ def _kernel(iters: int, n: int, m: int,
         col_x = jnp.maximum(Ps, colmax * D)
         rowmax = jnp.max(absA * D, axis=-1, keepdims=True)  # (TILE, m, 1)
         col_y = jnp.swapaxes(rowmax, -1, -2) * E
-        D = jnp.where(col_live,
-                      D / jnp.sqrt(jnp.maximum(col_x, eps)), 1.0)
-        E = jnp.where(row_live,
-                      E / jnp.sqrt(jnp.maximum(col_y, eps)), 1.0)
+        # zero-norm live rows/cols stay unscaled too (OSQP convention):
+        # the eps floor alone would grow their scale 1e6x per sweep and
+        # overflow to inf (e.g. inactive all-zero HJI rows)
+        D = jnp.where(col_live & (col_x > eps),
+                      D / jnp.sqrt(jnp.maximum(col_x, eps)), D)
+        E = jnp.where(row_live & (col_y > eps),
+                      E / jnp.sqrt(jnp.maximum(col_y, eps)), E)
         Ps = absP * D * D * c
         qs = c * D * absq
         g = jnp.maximum(

@@ -1,9 +1,10 @@
 """Production-resolution 7-D HJI solve on the TPU + refinement study.
 
 VERDICT r2 item 5: solve the avoid-set HJI-VI at the raised production
-DEFAULT_SHAPE (13.75M grid points; a full 2x-per-axis 54M grid exceeds
-single-chip HBM — XLA planned 39.8 G — and would need the grid sharded
-over a mesh), TIME it on-chip (per-sweep and total — substantiating /
+DEFAULT_SHAPE (9.65M grid points; a 13.75M grid reproducibly crashed the
+remote TPU worker and a full 2x-per-axis 54M grid exceeds single-chip
+HBM — XLA planned 39.8 G — and would need the grid sharded over a
+mesh), TIME it on-chip (per-sweep and total — substantiating /
 correcting hji_solve.py's original cost claims), and quantify
 coarse->fine refinement deltas on the Monte-Carlo scenario set:
 filter-activation agreement and constraint half-plane changes.

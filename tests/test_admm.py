@@ -155,3 +155,36 @@ def test_admm_jit_compiles_once():
     f = jax.jit(lambda qp: solve_qp(qp, opts=SolverOptions(max_iter=500)))
     sol = f(qp)
     assert np.all(np.isfinite(np.asarray(sol.x)))
+
+
+def test_ruiz_zero_rows_stay_unscaled():
+    """An all-zero constraint row (e.g. an inactive HJI half-plane) must
+    not blow up the Ruiz row scaling: the eps-floored update would grow
+    its E by 1e6 per sweep and overflow fp32 to inf within ~7 sweeps,
+    NaN-poisoning the scaled bounds (l*E with inf*0 rows) and with them
+    the whole solve.  Regression for the soft formulation's default
+    SolverOptions (scaling_iters=10) divergence."""
+    from pigeon_tpu.solver.admm import _ruiz
+    rng = np.random.default_rng(0)
+    n, m = 6, 9
+    A = rng.normal(size=(m, n)).astype(np.float32)
+    A[3, :] = 0.0                       # inactive half-plane row
+    A[7, :] = 0.0
+    P = np.abs(rng.normal(size=n)).astype(np.float32) + 0.5
+    q = rng.normal(size=n).astype(np.float32)
+    l = np.full(m, -1.0, np.float32)
+    u = np.full(m, 1.0, np.float32)
+    qp = QPData(jnp.asarray(P), jnp.asarray(q), jnp.asarray(A),
+                jnp.asarray(l), jnp.asarray(u))
+    for iters in (2, 10, 30):
+        qps, D, E, c = _ruiz(qp, iters)
+        assert np.all(np.isfinite(np.asarray(E))), iters
+        assert np.all(np.isfinite(np.asarray(D)))
+        assert np.isfinite(float(c))
+        np.testing.assert_allclose(np.asarray(E)[[3, 7]], 1.0)
+        for arr in qps:
+            assert np.all(np.isfinite(np.asarray(arr)))
+        # live rows still equilibrated: scaled row norms ~ 1
+        rn = np.abs(np.asarray(qps.A)).max(axis=1)
+        live = [i for i in range(m) if i not in (3, 7)]
+        np.testing.assert_allclose(rn[live], 1.0, rtol=0.35)

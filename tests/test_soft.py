@@ -184,3 +184,25 @@ def test_lane_chol_inverse():
                                    rtol=2e-4, atol=2e-5)
     # padded lanes stay identity
     np.testing.assert_allclose(out[:, :, B + 1], np.eye(n_pad), atol=1e-6)
+
+
+def test_rollout_affine_scan_matches_unroll():
+    """The log-N associative-scan rollout (long-horizon path,
+    SURVEY §5) computes the same cumulative affine recursion as the
+    sequential unroll used at reference-scale horizons — including a
+    T >= ROLLOUT_SCAN_MIN_T case where `rollout_affine` dispatches to
+    the scan."""
+    from pigeon_tpu.qp import condensed as C
+    rng = np.random.default_rng(3)
+    for T in (2, 15, C.ROLLOUT_SCAN_MIN_T):
+        # contractive-ish A keeps the product well-conditioned
+        A = jnp.asarray(rng.normal(size=(T, 6, 6)) * 0.4)
+        E = jnp.asarray(rng.normal(size=(T, 6, 31)))
+        M_seq = C.rollout_affine_unroll(A, E)
+        M_scan = C.rollout_affine_scan(A, E)
+        np.testing.assert_allclose(np.asarray(M_scan), np.asarray(M_seq),
+                                   rtol=5e-6, atol=5e-7)
+        M_dispatch = C.rollout_affine(A, E)
+        ref = M_scan if T >= C.ROLLOUT_SCAN_MIN_T else M_seq
+        np.testing.assert_allclose(np.asarray(M_dispatch),
+                                   np.asarray(ref), rtol=0, atol=0)
