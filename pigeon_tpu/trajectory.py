@@ -65,6 +65,11 @@ class TrajectoryTube(NamedTuple):
     n_valid: jnp.ndarray  # number of live knots (<= padded length)
     t_idx: "LookupIndex | None" = None   # acceleration index over t
     s_idx: "LookupIndex | None" = None   # acceleration index over s
+    # (L, len(_PACKED_FIELDS)) row-major copy of the knot columns: one
+    # interpolation gathers TWO contiguous ~44-byte rows instead of ~12
+    # scattered 4-byte elements — the per-node lookups dominate the warm
+    # node-seeding phase at fleet batch sizes (see eval_time/eval_arclength)
+    packed: "jnp.ndarray | None" = None
 
     @property
     def length(self) -> int:
@@ -91,6 +96,11 @@ class TrajectoryNode(NamedTuple):
 
 
 _SPATIAL_FIELDS = ("E", "N", "psi", "kappa", "theta", "phi", "edge_L", "edge_R")
+
+# column order of TrajectoryTube.packed (node A is the per-segment
+# finite-difference accel, not the stored column — see _seg_accel)
+_PACKED_FIELDS = ("t", "s", "V") + _SPATIAL_FIELDS
+_PCOL = {name: k for k, name in enumerate(_PACKED_FIELDS)}
 
 
 def make_tube(t, s, V, A, E, N, psi, kappa, theta=None, phi=None,
@@ -119,9 +129,11 @@ def make_tube(t, s, V, A, E, N, psi, kappa, theta=None, phi=None,
         for k in cols:
             if k not in ("t", "s"):
                 cols[k] = np.concatenate([cols[k], np.full(pad, cols[k][-1])])
+    packed = np.stack([cols[k] for k in _PACKED_FIELDS], axis=-1)
     return TrajectoryTube(n_valid=jnp.asarray(n, jnp.int32),
                           t_idx=_build_lookup_index(cols["t"], n),
                           s_idx=_build_lookup_index(cols["s"], n),
+                          packed=jnp.asarray(packed),
                           **{k: jnp.asarray(v) for k, v in cols.items()})
 
 
@@ -228,6 +240,22 @@ def _time_from_arc(tube: TrajectoryTube, i, ds, s):
     return A, dt
 
 
+def _packed_rows(tube: TrajectoryTube, i):
+    """Gather knot rows i and i+1 of the packed column matrix: two
+    contiguous row gathers replace ~12 scattered per-column gathers —
+    the dominant cost of per-node lookups at fleet batch sizes."""
+    return tube.packed[i], tube.packed[i + 1]
+
+
+def _packed_spatial(r0, r1, lam, fields):
+    """Linear interp of the spatial columns from packed rows.  lam is
+    deliberately unclamped -> Line() extrapolation (the reference's
+    Gridded(Linear) + Line(), `src/trajectories.jl:32-35`)."""
+    vals = r0 + lam[..., None] * (r1 - r0)
+    return {name: (vals[..., _PCOL[name]] if name in fields else None)
+            for name in _SPATIAL_FIELDS}
+
+
 def eval_time(tube: TrajectoryTube, t,
               fields=_SPATIAL_FIELDS) -> TrajectoryNode:
     """Sample the tube at time t: constant-accel interpolation between time
@@ -235,6 +263,21 @@ def eval_time(tube: TrajectoryTube, t,
     `traj(t)` functor, `src/trajectories.jl:47-54`).  `fields` limits the
     spatial columns gathered (see `_lerp_spatial`)."""
     i = _segment_index(tube.t, t, tube.n_valid, tube.t_idx)
+    if tube.packed is not None:
+        r0, r1 = _packed_rows(tube, i)
+        t0, s0, V0 = r0[..., 0], r0[..., 1], r0[..., 2]
+        t1, s1, V1 = r1[..., 0], r1[..., 1], r1[..., 2]
+        A = (V1 - V0) / (t1 - t0)
+        dt = t - t0
+        s = s0 + V0 * dt + A * dt * dt / 2.0
+        V = V0 + A * dt
+        # the time-knot segment IS the arclength-knot segment (same knot
+        # sequence; s(t) is monotone within it), so the spatial interp
+        # reuses i instead of re-searching the s knots.  The interp is
+        # continuous across knots, so fp rounding at a boundary cannot
+        # change the value beyond noise.
+        sp = _packed_spatial(r0, r1, (s - s0) / (s1 - s0), fields)
+        return TrajectoryNode(t=jnp.asarray(t), s=s, V=V, A=A, **sp)
     A = _seg_accel(tube, i)
     dt = t - tube.t[i]
     s = tube.s[i] + tube.V[i] * dt + A * dt * dt / 2.0
@@ -249,6 +292,21 @@ def eval_arclength(tube: TrajectoryTube, s,
     `src/trajectories.jl:55-68`).  `fields` limits the spatial columns
     gathered (see `_lerp_spatial`)."""
     i = _segment_index(tube.s, s, tube.n_valid, tube.s_idx)
+    if tube.packed is not None:
+        r0, r1 = _packed_rows(tube, i)
+        t0, s0, V0 = r0[..., 0], r0[..., 1], r0[..., 2]
+        t1, s1, V1 = r1[..., 0], r1[..., 1], r1[..., 2]
+        ds = s - s0
+        A = (V1 - V0) / (t1 - t0)
+        disc = jnp.sqrt(jnp.maximum(2.0 * A * ds + V0 * V0, 0.0))
+        s_end = tube.s[tube.n_valid - 1]
+        use_linear = (jnp.abs(A) < 1e-3) | (s > s_end)
+        A_safe = jnp.where(jnp.abs(A) < 1e-3, 1.0, A)
+        dt = jnp.where(use_linear, ds / V0, (disc - V0) / A_safe)
+        t = t0 + dt
+        V = V0 + A * dt
+        sp = _packed_spatial(r0, r1, ds / (s1 - s0), fields)
+        return TrajectoryNode(t=t, s=jnp.asarray(s), V=V, A=A, **sp)
     ds = s - tube.s[i]
     A, dt = _time_from_arc(tube, i, ds, s)
     t = tube.t[i] + dt
