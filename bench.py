@@ -61,6 +61,80 @@ def _flagship_cfg(args, platform):
         pallas_check_inner=10))
 
 
+def _decoupled_cfg(platform):
+    """The reference's DEFAULT controller (X1DMPC, `src/Pigeon.jl:34`):
+    lateral 4-state QP over the N=31 two-timescale horizon (n=245 vars /
+    m=395 rows) — too large for the 128-lane VMEM solve, so it runs the
+    MXU Pallas backend (sparse formulations' path)."""
+    import dataclasses as _dc
+
+    from pigeon_tpu import mpc as M
+    from pigeon_tpu.config import SolverOptions
+
+    backend = "pallas" if platform == "tpu" else "xla"
+    cfg = M.x1_decoupled_config()
+    return _dc.replace(cfg, solver=SolverOptions(
+        max_iter=300, check_every=300, eps_abs=1e-3, eps_rel=1e-3,
+        backend=backend, scaling_iters=2, pallas_check_inner=25))
+
+
+def decoupled_record(args, tube, cache, tunnel_s, platform):
+    """Throughput + B=1 latency for the decoupled formulation (VERDICT r2
+    'decoupled is out of the perf story'); appended to the main JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    from pigeon_tpu import mpc as M
+
+    dtype = jnp.float32
+    cfg = _decoupled_cfg(platform)
+    B, chain = args.decoupled_batch, 5
+    cb, q0, u0, oc, t0 = _fleet(tube, B, dtype, cfg, M, jnp)
+    one_step, chained = _make_steps(cfg, tube, cache, oc, dtype, chain)
+    cb, q0, u0, diag = one_step(cb, q0, u0, t0)
+    t0 = t0 + 0.01
+    jax.block_until_ready(u0)
+    totals = []
+    conv = None
+    for i in range(4):
+        t1 = time.perf_counter()
+        (cb, q0, u0, t0), conv, iters = chained(cb, q0, u0, t0)
+        jax.block_until_ready(u0)
+        if i > 0:                              # first timed launch warms
+            totals.append(time.perf_counter() - t1)
+    step_dev = max(float(np.median(totals)) - tunnel_s, 1e-9) / chain
+    rec = {
+        "batch": B,
+        "device_step_ms": round(step_dev * 1e3, 3),
+        "solves_per_s": round(B / step_dev, 1),
+        "converged_frac": round(float(np.asarray(conv)[-1].mean()), 4),
+        "iters_mean": round(float(np.asarray(iters)[-1].mean()), 1),
+        "n_vars": 245, "m_rows": 395, "horizon_N": 31,
+        "solver_backend": cfg.solver.backend,
+    }
+    # B=1 real-time latency (chain of dependent on-device steps)
+    cb1, q01, u01, oc1, t01 = _fleet(tube, 1, dtype, cfg, M, jnp)
+    one1, chained1 = _make_steps(cfg, tube, cache, oc1, dtype,
+                                 args.latency_chain)
+    cb1, q01, u01, _ = one1(cb1, q01, u01, t01)
+    t01 = t01 + 0.01
+    jax.block_until_ready(u01)
+    (cb1, q01, u01, t01), conv1, _ = chained1(cb1, q01, u01, t01)
+    jax.block_until_ready(u01)
+    totals1 = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        (cb1, q01, u01, t01), conv1, _ = chained1(cb1, q01, u01, t01)
+        jax.block_until_ready(u01)
+        totals1.append(time.perf_counter() - t1)
+    dev1 = (float(np.median(totals1)) - tunnel_s) / args.latency_chain
+    rec["latency_b1_device_step_ms"] = round(dev1 * 1e3, 3)
+    rec["latency_b1_within_10ms_budget"] = bool(dev1 < 0.010)
+    rec["latency_b1_converged_frac"] = round(
+        float(np.asarray(conv1)[-1].mean()), 4)
+    return rec
+
+
 def _fleet(tube, B, dtype, cfg, M, jnp):
     import jax
 
@@ -213,6 +287,8 @@ def main():
     ap.add_argument("--latency-batches", type=int, nargs="*",
                     default=[1, 16, 64])
     ap.add_argument("--skip-latency", action="store_true")
+    ap.add_argument("--skip-decoupled", action="store_true")
+    ap.add_argument("--decoupled-batch", type=int, default=1024)
     args = ap.parse_args()
 
     jax = _setup_jax()
@@ -274,6 +350,12 @@ def main():
             print(json.dumps({"metric": "mpc_step_latency", **rec}),
                   flush=True)
 
+    dec_rec = None
+    if not args.skip_decoupled:
+        dec_rec = decoupled_record(args, tube, cache, tunnel_s, platform)
+        print(json.dumps({"metric": "mpc_decoupled", **dec_rec}),
+              flush=True)
+
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -286,6 +368,7 @@ def main():
         "within_10ms_budget": bool(
             any(r["within_10ms_budget"] for r in lat_recs)),
         "latency": lat_recs,
+        "decoupled": dec_rec,
         "tunnel_overhead_ms_measured": round(tunnel_s * 1e3, 2),
         "vs_reference_rate": round(solves_per_s / 100.0, 1),
         "converged_frac": round(conv_frac, 4),

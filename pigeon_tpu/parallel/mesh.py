@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pigeon_tpu import hji as hji_mod
 from pigeon_tpu import mpc as mpc_mod
 from pigeon_tpu import trajectory as trj
+from pigeon_tpu.compile import tpu_jit
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
@@ -106,7 +107,9 @@ class BatchedController:
             q_next = jax.vmap(plant)(state.q, state.u)
             return BatchState(carry=carry, q=q_next, u=u3), diag
 
-        self._step = jax.jit(_step)
+        # tpu_jit (not plain jit): the lane/MXU solver kernels need the
+        # raised scoped-VMEM budget on TPU backends (compile.py)
+        self._step = tpu_jit(_step)
 
         def _advance_other(oc):
             # constant-velocity human prediction (the dynamic_obstacle
@@ -124,7 +127,7 @@ class BatchedController:
                 body, (state, other_car), jnp.arange(n_steps))
             return state, out
 
-        self._rollout = jax.jit(_rollout, static_argnums=(3,))
+        self._rollout = tpu_jit(_rollout, static_argnums=(3,))
 
     def init_state(self, q0_batch, u0_batch=None) -> BatchState:
         B = q0_batch.shape[0]

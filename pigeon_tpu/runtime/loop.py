@@ -27,6 +27,7 @@ import numpy as np
 from pigeon_tpu import hji as hji_mod
 from pigeon_tpu import mpc as mpc_mod
 from pigeon_tpu import trajectory as trj
+from pigeon_tpu.compile import tpu_jit
 
 log = logging.getLogger("pigeon_tpu.runtime")
 
@@ -120,11 +121,12 @@ class ControllerRuntime:
         self.last_command = ToAutobox(0.0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0)
 
         def make_step(c):
-            return jax.jit(
+            # tpu_jit: solver kernels need the raised scoped-VMEM budget
+            return tpu_jit(
                 lambda tube, carry, q0, u0, oc, t: mpc_mod.mpc_step(
                     c, tube, self.cache, carry, q0, u0, oc, t))
         self._steps = {m: make_step(c) for m, c in self.cfgs.items()}
-        self._project = jax.jit(
+        self._project = tpu_jit(
             lambda tube, x: trj.path_coordinates(tube, x))
 
     @property

@@ -387,3 +387,47 @@ def tube_from_world(path: str, pad_to: int | None = None) -> TrajectoryTube:
         t=t, s=s, V=V, A=w["AxDes_mps2"], E=w["posE_m"], N=w["posN_m"],
         psi=w["psi_rad"], kappa=w["k_1pm"], theta=w["grade_rad"], phi=None,
         edge_L=w.get("edgeL_m"), edge_R=w.get("edgeR_m"), pad_to=pad_to)
+
+
+def tube_from_pathmsg(path: str, pad_to: int | None = None
+                      ) -> TrajectoryTube:
+    """Load a pre-serialized ROS1 `path` message (`test/path/*.msg`) as a
+    TrajectoryTube — dependency-free (no ROS).
+
+    The reference deserializes these through PyCall + rospy
+    (`test/load_test_paths.jl:1-16`); the wire format is rospy's plain
+    little-endian serialization of `safe_traffic_weaving/path`
+    (`src/ros_integration.jl:4`): std_msgs/Header (uint32 seq, time
+    stamp, string frame_id) followed by length-prefixed float64 arrays in
+    declaration order — two unused leading arrays, then s_m, posE_m,
+    posN_m, Psi_rad, k_1pm, grade_rad, edge_L_m, edge_R_m, Ux_des_mps,
+    Ax_des_mps2 (layout established against the .world twins of the same
+    recordings) — then isOpen.  Time is reconstructed with
+    t = invcumtrapz(Ux, s) exactly like the reference's `/des_path`
+    ingest (`src/ros_integration.jl:13-16`).  This covers
+    `variable_speed.msg`, the one test asset with no `.world` twin.
+    """
+    import struct
+
+    buf = open(path, "rb").read()
+    off = 12                                   # seq + stamp
+    (flen,) = struct.unpack_from("<I", buf, off)
+    off += 4 + flen                            # frame_id
+    arrays = []
+    while off + 4 <= len(buf) and len(arrays) < 12:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        if n * 8 > len(buf) - off:
+            raise ValueError(f"corrupt path msg {path!r}: array of {n} "
+                             f"doubles past end of buffer")
+        arrays.append(np.frombuffer(buf, "<f8", count=n, offset=off))
+        off += 8 * n
+    if len(arrays) != 12:
+        raise ValueError(f"path msg {path!r}: expected 12 arrays, got "
+                         f"{len(arrays)}")
+    (s, E, N, psi, kappa, grade, edge_L, edge_R, Ux,
+     Ax) = arrays[2:12]
+    t = np.asarray(invcumtrapz(jnp.asarray(Ux), jnp.asarray(s)))
+    return make_tube(t=t, s=s, V=Ux, A=Ax, E=E, N=N, psi=psi, kappa=kappa,
+                     theta=grade, phi=None, edge_L=edge_L, edge_R=edge_R,
+                     pad_to=pad_to)

@@ -115,3 +115,37 @@ def build_only(qs, us, ps, ts):
 _ = jax.block_until_ready(build_only(qs_b, us_b, ps_b, ts5))
 timeit("build_qp_soft(incl lin)", build_only,
        lambda i: (qs_b + i * 1e-6, us_b, ps_b, ts5))
+
+# ---- linearization internals: jacfwd/M-build vs expm chain -----------------
+@tpu_jit
+def lin_jac_only(qs, us, ps, ts):
+    def one(q_, u_, p_, t):
+        _, dt = M.compute_time_steps(hz, t)
+        ur = jnp.concatenate([u_, p_], axis=-1)
+        def f(q, urr):
+            return dyn.vehicle_ode(veh, "tracking", q, urr[:2], urr[2:])
+        T = dt.shape[0]
+        Mx, dim = dz.linearize_affine_horizon(f, q_[:T], ur[:T], ur[1:],
+                                              dt, 2)
+        return Mx * dt[:, None, None]
+    return jax.vmap(one)(qs, us, ps, ts)
+
+Mb = jax.block_until_ready(lin_jac_only(qs_b, us_b, ps_b, ts5))
+timeit("lin.jacfwd+Mbuild", lin_jac_only,
+       lambda i: (qs_b + i * 1e-6, us_b, ps_b, ts5))
+
+@tpu_jit
+def expm_only(Mb):
+    return jax.vmap(lambda Mx: dz._expm_stage_packed(
+        Mx, squarings=7, order=6, precision="high"))(Mb)
+
+_ = jax.block_until_ready(expm_only(Mb))
+timeit("lin.expm(sq7,o6)", expm_only, lambda i: (Mb + i * 1e-7,))
+
+@tpu_jit
+def expm_only5(Mb):
+    return jax.vmap(lambda Mx: dz._expm_stage_packed(
+        Mx, squarings=5, order=6, precision="high"))(Mb)
+
+_ = jax.block_until_ready(expm_only5(Mb))
+timeit("lin.expm(sq5,o6)", expm_only5, lambda i: (Mb + i * 1e-7,))

@@ -37,21 +37,19 @@ from pigeon_tpu.config import SolverOptions  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenarios", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--cache", default="/root/repo/assets/hji_cache_proto.npz")
     ap.add_argument("--collision-threshold", type=float, default=2.5)
-    ap.add_argument("--gap-min", type=float, default=8.0)
-    ap.add_argument("--gap-max", type=float, default=30.0)
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
     cache = HS.load_cache(args.cache)
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)
-    # adversarial-ish sampling: oncoming car close and near the lane
-    scen = mc.sample_scenarios(tube, args.scenarios, seed=7,
-                               oncoming_gap=(args.gap_min, args.gap_max),
-                               oncoming_lateral=(-1.0, 1.0))
+    # two scenario regimes: "avoidable" (the experiment's point: enough
+    # room that filtering CAN matter) and "pressed" (near-unavoidable
+    # head-on starts, 8-30 m — the filter's margin shrinks toward zero)
+    regimes = {"avoidable": (12.0, 40.0), "pressed": (8.0, 30.0)}
 
     solver = SolverOptions(
         max_iter=150, check_every=150, eps_abs=1e-3, eps_rel=1e-3,
@@ -67,30 +65,38 @@ def main():
            "scenarios": args.scenarios, "steps": args.steps,
            "collision_threshold_m": args.collision_threshold,
            "cache": args.cache}
-    for name, a in arms.items():
-        cfg = M.x1_coupled_config(soft=True)
-        cfg = dataclasses.replace(
-            cfg, solver=solver, use_hji_policy=a["policy"],
-            coupled=dataclasses.replace(cfg.coupled, use_hji=a["use_hji"]))
-        s = mc.run_dynamic_obstacle(
-            cfg, tube, cache, scen, n_steps=args.steps,
-            collision_threshold=args.collision_threshold)
-        out[name] = {
-            "collision_frac": round(s.collision_frac, 4),
-            "min_separation_m": round(s.min_separation_m, 3),
-            "hji_active_frac": round(s.hji_active_frac, 4),
-            "tracking_e_p99_m": round(s.tracking_e_p99, 4),
-            "converged_frac": round(s.converged_frac, 4),
-            "controls_finite": s.controls_finite,
-        }
-        print(json.dumps({name: out[name]}), flush=True)
-
-    out["collision_reduction_feather"] = round(
-        out["off"]["collision_frac"] - out["feather"]["collision_frac"], 4)
-    out["collision_reduction_hammer"] = round(
-        out["off"]["collision_frac"] - out["hammer"]["collision_frac"], 4)
-    with open("/root/repo/SAFETY_AB.json", "w") as f:
-        json.dump(out, f, indent=1)
+    for rname, (g0, g1) in regimes.items():
+        scen = mc.sample_scenarios(tube, args.scenarios, seed=7,
+                                   oncoming_gap=(g0, g1),
+                                   oncoming_lateral=(-1.0, 1.0))
+        reg = {"oncoming_gap_m": [g0, g1]}
+        for name, a in arms.items():
+            cfg = M.x1_coupled_config(soft=True)
+            cfg = dataclasses.replace(
+                cfg, solver=solver, use_hji_policy=a["policy"],
+                coupled=dataclasses.replace(cfg.coupled,
+                                            use_hji=a["use_hji"]))
+            s = mc.run_dynamic_obstacle(
+                cfg, tube, cache, scen, n_steps=args.steps,
+                collision_threshold=args.collision_threshold)
+            reg[name] = {
+                "collision_frac": round(s.collision_frac, 4),
+                "min_separation_m": round(s.min_separation_m, 3),
+                "hji_active_frac": round(s.hji_active_frac, 4),
+                "tracking_e_p99_m": round(s.tracking_e_p99, 4),
+                "converged_frac": round(s.converged_frac, 4),
+                "controls_finite": s.controls_finite,
+            }
+            print(json.dumps({rname: {name: reg[name]}}), flush=True)
+        reg["collision_reduction_feather"] = round(
+            reg["off"]["collision_frac"]
+            - reg["feather"]["collision_frac"], 4)
+        reg["collision_reduction_hammer"] = round(
+            reg["off"]["collision_frac"]
+            - reg["hammer"]["collision_frac"], 4)
+        out[rname] = reg
+        with open("/root/repo/SAFETY_AB.json", "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 

@@ -121,3 +121,46 @@ def test_lookup_jit_and_vmap():
     xs = jnp.stack([jnp.array([1.0, 10.0]), jnp.array([0.0, 20.0])])
     s, e, t = jax.vmap(lambda x: trj.path_coordinates(tube, x))(xs)
     np.testing.assert_allclose(np.asarray(s), [10.0, 20.0])
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_PATHS),
+                    reason="reference test paths not mounted")
+def test_pathmsg_loader_matches_world():
+    """The dependency-free ROS1 `path`-message parser reproduces the
+    .world loader exactly on the recordings that ship in both formats
+    (the reference deserializes the .msg files through PyCall + rospy,
+    `test/load_test_paths.jl:1-16`)."""
+    for name in ("vail", "curvy", "skidpadoval", "westpaddock"):
+        a = trj.tube_from_pathmsg(
+            os.path.join(REFERENCE_PATHS, f"{name}.msg"))
+        b = trj.tube_from_world(
+            os.path.join(REFERENCE_PATHS, f"{name}.world"))
+        for f in ("t", "s", "V", "A", "E", "N", "psi", "kappa", "theta",
+                  "edge_L", "edge_R"):
+            np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                       np.asarray(getattr(b, f)),
+                                       err_msg=f"{name}.{f}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_PATHS),
+                    reason="reference test paths not mounted")
+def test_pathmsg_variable_speed_closed_loop():
+    """variable_speed.msg is the one test asset with no .world twin —
+    load it and track it closed-loop (the SURVEY §4 fast-fixture role)."""
+    from pigeon_tpu import hji as H
+    from pigeon_tpu import mpc as M
+    tube = trj.tube_from_pathmsg(
+        os.path.join(REFERENCE_PATHS, "variable_speed.msg"), pad_to=64)
+    n = int(tube.n_valid)
+    assert n == 28
+    V = np.asarray(tube.V)[:n]
+    assert V.min() > 4.0 and V.max() < 6.0 and V.std() > 0.05
+    cfg = M.x1_coupled_config(soft=True)
+    q0 = jnp.array([float(tube.E[0]), float(tube.N[0]),
+                    float(tube.psi[0]), float(tube.V[0]), 0.0, 0.0])
+    log = M.simulate(cfg, tube, H.inactive_cache(), q0, dt=0.01,
+                     n_steps=120)
+    e = np.abs(np.asarray(log.diag.e))
+    assert np.all(np.isfinite(np.asarray(log.u)))
+    assert e.max() < 0.5
+    assert float(np.asarray(log.diag.converged).mean()) > 0.95
