@@ -262,20 +262,30 @@ def _nodes_coupled_warm(cfg: MPCConfig, tube, q0, u0, ts, carry: MPCCarry):
     u_node0 = jnp.stack([u0[0], u0[1] + u0[2]])
     p_node0 = jnp.stack([tj0.V, tj0.kappa, 0.0 * s0, 0.0 * s0])
 
-    # resample the previous solution onto the new grid: ONE shared segment
-    # index for all q/u columns (a per-column jnp.interp re-runs the
-    # knot search 8x; gathers dominate this phase at fleet batch sizes)
+    # resample the previous solution onto the new grid as ONE interp-
+    # weight matmul: the knot count is tiny (N+1 = 16), so building the
+    # (T, K) weight matrix from comparisons and contracting it with the
+    # stacked [q_prev | u_prev] columns costs no gathers at all — a
+    # per-element batched gather Y[j] lowers to scatter/gather HLO that
+    # dominates this phase at fleet batch sizes
     tq = jnp.clip(ts[1:], carry.prev_ts[0], carry.prev_ts[-1])
-    Y = jnp.concatenate([carry.q_prev, carry.u_prev], axis=-1)
+    Y = jnp.concatenate([carry.q_prev, carry.u_prev], axis=-1)  # (K, 8)
     nxq = carry.q_prev.shape[-1]
-    j = jnp.clip(jnp.searchsorted(carry.prev_ts, tq, side="right") - 1,
-                 0, carry.prev_ts.shape[0] - 2)
+    K = carry.prev_ts.shape[0]
+    # segment index by counting knots <= tq (compare + reduce, no search)
+    j = jnp.clip(jnp.sum((tq[:, None] >= carry.prev_ts[None, :])
+                         .astype(jnp.int32), axis=1) - 1, 0, K - 2)
+    kk = jnp.arange(K)
+    oh_j = (kk[None, :] == j[:, None]).astype(Y.dtype)        # (T, K)
+    oh_j1 = (kk[None, :] == (j + 1)[:, None]).astype(Y.dtype)
+    ts_j = oh_j @ carry.prev_ts
+    ts_j1 = oh_j1 @ carry.prev_ts
     # duplicate-knot guard: compute_time_steps yields strictly increasing
     # ts, but a degenerate carry must clamp (as jnp.interp would), not NaN
-    dt_seg = jnp.maximum(carry.prev_ts[j + 1] - carry.prev_ts[j],
-                         jnp.asarray(1e-9, carry.prev_ts.dtype))
-    lam = jnp.clip((tq - carry.prev_ts[j]) / dt_seg, 0.0, 1.0)
-    vals = Y[j] + lam[:, None] * (Y[j + 1] - Y[j])
+    lam = jnp.clip((tq - ts_j) / jnp.maximum(
+        ts_j1 - ts_j, jnp.asarray(1e-9, carry.prev_ts.dtype)), 0.0, 1.0)
+    W = (1.0 - lam)[:, None] * oh_j + lam[:, None] * oh_j1    # (T, K)
+    vals = W @ Y
     q_tail, u_tail = vals[:, :nxq], vals[:, nxq:]
     s_tail = jax.vmap(lambda t: trj.eval_time(tube, t, fields=()).s)(
         ts[1:]) + q_tail[:, 0]

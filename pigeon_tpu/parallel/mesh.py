@@ -83,10 +83,13 @@ class BatchedController:
             self.cache = replicate(self.cache, mesh)
 
         cfg_ = self.cfg
-        tube_ = self.tube
-        cache_ = self.cache
 
-        def _step(state: BatchState, other_car, t):
+        # tube/cache are ARGUMENTS of the jitted programs, not closure
+        # constants: a closed-over production HJI cache (~300 MB of V +
+        # gradV) would be embedded into the serialized HLO, which blows
+        # past compile-request size limits on remote-compile backends
+        # (HTTP 413 through the axon tunnel) and bloats the executable.
+        def _step(tube_, cache_, state: BatchState, other_car, t):
             B_ = state.q.shape[0]
             ts_b = jnp.broadcast_to(jnp.asarray(t, state.q.dtype), (B_,))
             carry, u3, diag = mpc_mod.mpc_step_batched(
@@ -118,16 +121,17 @@ class BatchedController:
             return jnp.stack([E - V * jnp.sin(psi) * dt,
                               N + V * jnp.cos(psi) * dt, psi, V], axis=-1)
 
-        def _rollout(state: BatchState, other_car, t0, n_steps):
+        def _rollout(tube_, cache_, state: BatchState, other_car, t0,
+                     n_steps):
             def body(carry_st, i):
                 st, oc = carry_st
-                st, diag = _step(st, oc, t0 + i * dt)
+                st, diag = _step(tube_, cache_, st, oc, t0 + i * dt)
                 return (st, _advance_other(oc)), (st.q, st.u, oc, diag)
             (state, _), out = jax.lax.scan(
                 body, (state, other_car), jnp.arange(n_steps))
             return state, out
 
-        self._rollout = tpu_jit(_rollout, static_argnums=(3,))
+        self._rollout = tpu_jit(_rollout, static_argnums=(5,))
 
     def init_state(self, q0_batch, u0_batch=None) -> BatchState:
         B = q0_batch.shape[0]
@@ -146,7 +150,8 @@ class BatchedController:
             B = state.q.shape[0]
             other_car = jnp.broadcast_to(
                 jnp.asarray([1e4, 1e4, 0.0, 0.0], state.q.dtype), (B, 4))
-        return self._step(state, other_car, jnp.asarray(t, state.q.dtype))
+        return self._step(self.tube, self.cache, state, other_car,
+                          jnp.asarray(t, state.q.dtype))
 
     def rollout(self, state: BatchState, n_steps: int, other_car=None,
                 t0=0.0):
@@ -157,5 +162,5 @@ class BatchedController:
             B = state.q.shape[0]
             other_car = jnp.broadcast_to(
                 jnp.asarray([1e4, 1e4, 0.0, 0.0], state.q.dtype), (B, 4))
-        return self._rollout(state, other_car,
+        return self._rollout(self.tube, self.cache, state, other_car,
                              jnp.asarray(t0, state.q.dtype), n_steps)

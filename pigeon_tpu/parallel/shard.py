@@ -117,6 +117,4 @@ def shard_batch_dp(tree, mesh: Mesh):
     return jax.tree.map(put, tree)
 
 
-def replicate(tree, mesh: Mesh):
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+from pigeon_tpu.parallel.mesh import replicate  # noqa: E402  (shared helper)

@@ -218,7 +218,7 @@ def soft_step_flops(hz, n: int, m: int, iters: float,
     d = 19                       # augmented expm stage matrix (n+2m+1)
     jac_ode = 500                # vehicle_ode ~250 MACs, fwd-mode x12 tangents
     lin = T * (12 * jac_ode * 2            # jacfwd duals (rough)
-               + 12 * d ** 3 * 2           # expm chain: 5 Horner + 7 squarings
+               + 9 * d ** 3 * 2            # expm chain: 5 Horner + 4 squarings
                + 2 * d * d * 2)            # extraction einsums
     rollout = T * (6 * 6 * (n + 2) * 2 + 6 * (n + 2) * 2)
     pbuild = T * 3 * n * n * 2 + n * n * 2

@@ -164,7 +164,7 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
 
     if lin_method == "expm":
         A_all, B0_all, Bf_all, c_all = dz.linearize_horizon_fused(
-            f, qs, ur, dt, S, 2, squarings=7, order=6, precision="high")
+            f, qs, ur, dt, S, 2, squarings=4, order=6, precision="high")
     else:
         Az, Bz, cz = jax.vmap(
             lambda q, u, h: dz.linearize_zoh(f, q, u, h, 2,
@@ -479,7 +479,7 @@ def build_qp_soft(veh: VehicleParams, ctl: CoupledControlParams,
 
     if lin_method == "expm":
         A_all, B0_all, Bf_all, c_all = dz.linearize_horizon_fused(
-            f, qs, ur, dt, S, 2, squarings=7, order=6, precision="high")
+            f, qs, ur, dt, S, 2, squarings=4, order=6, precision="high")
     else:
         Az, Bz, cz = jax.vmap(
             lambda q, u, h: dz.linearize_zoh(f, q, u, h, 2,

@@ -185,13 +185,17 @@ def build_qp(veh: VehicleParams, ctl: CoupledControlParams,
     elif lin_method == "expm":
         # ZOH (short horizon, reference :336) + FOH (long horizon, :348)
         # as ONE fused 19x19 expm chain over all T stages with tuned
-        # squarings/order (7, 6): 12 batched matmuls at 3-pass precision
+        # squarings/order (4, 6): 9 batched matmuls at 3-pass precision —
+        # measured vs scipy fp64 expm on live fleet stage matrices
+        # (||M dt|| ~ 1.2 short / ~23 long): sq=4 err 4.5e-7, sq=7 err
+        # 2.5e-6 (MORE squarings accumulate MORE fp32 rounding), sq<=2
+        # under-scales the long stages
         # vs the split chains' 30 at 6-pass — the QP-assembly hot-path
         # fix (57 -> ~15 ms at B=2048; error ~1e-5 relative at the
         # worst-case ||J*dt|| ~ 38 of the V_min=1 tire modes, far inside
         # the solver's 1e-3 tolerance).
         A_all, B0_all, Bf_all, c_all = dz.linearize_horizon_fused(
-            f, qs, ur, dt, S, 2, squarings=7, order=6, precision="high")
+            f, qs, ur, dt, S, 2, squarings=4, order=6, precision="high")
         Az, Bz, cz = A_all[:S], B0_all[:S], c_all[:S]
         Af, B0f, Bff, cf = A_all[S:], B0_all[S:], Bf_all[S:], c_all[S:]
     else:

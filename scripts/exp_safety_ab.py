@@ -27,6 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import jax.numpy as jnp  # noqa: E402
 
+from pigeon_tpu import hji as hji_mod  # noqa: E402
 from pigeon_tpu import hji_solve as HS  # noqa: E402
 from pigeon_tpu import montecarlo as mc  # noqa: E402
 from pigeon_tpu import mpc as M  # noqa: E402
@@ -56,10 +57,17 @@ def main():
         backend=("lanes" if platform == "tpu" else "xla"),
         scaling_iters=2, pallas_check_inner=10)
 
+    # eps ladder: V is in METERS here (optimal-play min separation minus
+    # the 3 m margin), unlike the reference asset's normalized value, so
+    # the reference's eps=0.05 activates only when the game is nearly
+    # lost.  0.3/0.6 m engage the filter earlier.
     arms = {
-        "off": dict(use_hji=False, policy=False),
-        "feather": dict(use_hji=True, policy=False),
-        "hammer": dict(use_hji=True, policy=True),
+        "off": dict(use_hji=False, policy=False, eps=0.05),
+        "feather": dict(use_hji=True, policy=False, eps=0.05),
+        "hammer": dict(use_hji=True, policy=True, eps=0.05),
+        "feather_eps0.3": dict(use_hji=True, policy=False, eps=0.3),
+        "hammer_eps0.3": dict(use_hji=True, policy=True, eps=0.3),
+        "hammer_eps0.6": dict(use_hji=True, policy=True, eps=0.6),
     }
     out = {"metric": "hji_safety_ab", "platform": platform,
            "scenarios": args.scenarios, "steps": args.steps,
@@ -70,10 +78,23 @@ def main():
                                    oncoming_gap=(g0, g1),
                                    oncoming_lateral=(-1.0, 1.0))
         reg = {"oncoming_gap_m": [g0, g1]}
+        # start-state value distribution (justifies the eps ladder)
+        x0 = jax.vmap(lambda q, o: hji_mod.relative_state(q, o))(
+            scen.q0, scen.other0)
+        V0, _ = jax.vmap(lambda x: hji_mod.interpolate(cache, x))(x0)
+        V0 = np.asarray(V0)
+        fin = np.isfinite(V0)
+        reg["V_start"] = {
+            "in_grid_frac": round(float(fin.mean()), 4),
+            "p10": round(float(np.percentile(V0[fin], 10)), 3) if fin.any() else None,
+            "p50": round(float(np.percentile(V0[fin], 50)), 3) if fin.any() else None,
+            "p90": round(float(np.percentile(V0[fin], 90)), 3) if fin.any() else None,
+        }
         for name, a in arms.items():
             cfg = M.x1_coupled_config(soft=True)
             cfg = dataclasses.replace(
                 cfg, solver=solver, use_hji_policy=a["policy"],
+                hji_eps=a["eps"],
                 coupled=dataclasses.replace(cfg.coupled,
                                             use_hji=a["use_hji"]))
             s = mc.run_dynamic_obstacle(
@@ -88,12 +109,11 @@ def main():
                 "controls_finite": s.controls_finite,
             }
             print(json.dumps({rname: {name: reg[name]}}), flush=True)
-        reg["collision_reduction_feather"] = round(
-            reg["off"]["collision_frac"]
-            - reg["feather"]["collision_frac"], 4)
-        reg["collision_reduction_hammer"] = round(
-            reg["off"]["collision_frac"]
-            - reg["hammer"]["collision_frac"], 4)
+        for name in arms:
+            if name != "off":
+                reg[f"collision_reduction_{name}"] = round(
+                    reg["off"]["collision_frac"]
+                    - reg[name]["collision_frac"], 4)
         out[rname] = reg
         with open("/root/repo/SAFETY_AB.json", "w") as f:
             json.dump(out, f, indent=1)

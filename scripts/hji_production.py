@@ -109,14 +109,18 @@ def refine_phase(out, veh, scenarios):
     Vf, Mf, bf = rows["production"]
     act_c, act_f = Vc <= eps, Vf <= eps
     both = act_c & act_f
+    # V deltas only over states INSIDE both grids: outside-grid queries
+    # interpolate to +inf (reference semantics) and inf - inf is NaN
+    ingrid = np.isfinite(Vf) & np.isfinite(Vc)
+    dV = np.abs(Vf[ingrid] - Vc[ingrid]) if ingrid.any() else np.zeros(1)
     out["refinement"] = {
         "scenarios": scenarios,
+        "in_grid_frac": round(float(ingrid.mean()), 4),
         "active_frac_proto": round(float(act_c.mean()), 4),
         "active_frac_production": round(float(act_f.mean()), 4),
         "activation_agreement": round(float((act_c == act_f).mean()), 4),
-        "V_mean_abs_delta": round(float(np.abs(Vf - Vc).mean()), 4),
-        "V_p99_abs_delta": round(
-            float(np.percentile(np.abs(Vf - Vc), 99)), 4),
+        "V_mean_abs_delta": round(float(dV.mean()), 4),
+        "V_p99_abs_delta": round(float(np.percentile(dV, 99)), 4),
         "halfplane_M_p99_delta_on_both_active": (
             round(float(np.percentile(
                 np.abs(Mf - Mc).max(axis=-1)[both], 99)), 4)
