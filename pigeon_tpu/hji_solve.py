@@ -81,7 +81,8 @@ def collision_distance(x7, margin: float):
 
 
 def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
-                 floor=None, sweep_chunk: int = 0):
+                 floor=None, sweep_chunk: int = 0, lf: str = "local",
+                 horizon=None):
     """Generic N-D avoid-set HJI-VI level-set solver (dimension-agnostic
     core; the 7-D vehicle problem and the validation games share it).
 
@@ -99,6 +100,19 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
                REQUIRED for production grids in this environment, where a
                single multi-minute device execution crashes the remote
                TPU worker (watchdog); also yields incremental progress.
+    lf       : "local" (default) uses pointwise |f| dissipation
+               coefficients (LLF) — far less numerical diffusion than
+               "global" (per-axis grid-max |f|), which on coarse 7-D
+               grids floods the whole domain with the negative target
+               region (measured: the converged global-LF proto cache
+               collapsed to V in [-3.0, -2.5] EVERYWHERE).  The CFL time
+               step stays global either way (stability).
+    horizon  : optional pseudo-time horizon T (seconds).  The avoid game
+               between equal-agility vehicles is pursuer-won at infinite
+               horizon (V -> floor as sweeps -> inf), so the USEFUL
+               artifact is the finite-horizon value "collision forceable
+               within T"; updates freeze once cumulative pseudo-time
+               reaches T.
 
     Returns (V, deltas, times): the converged value grid, per-sweep
     sup-norm updates, and the cumulative pseudo-time after each sweep
@@ -120,7 +134,8 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
              for ax in range(ndim)], axis=-1)
         f = flow_fn(gradV)                                # (..., N)
         H = jnp.sum(gradV * f, axis=-1)
-        # Global (per-axis) Lax-Friedrichs dissipation.  In this module's
+        # Lax-Friedrichs dissipation (pointwise-local by default; global
+        # per-axis with lf="global").  In this module's
         # sign convention the PDE is V_t = min(0, H(x, DV)), i.e. the
         # standard-form Hamiltonian is G = -min(0, H); the monotone LF
         # update V += dt*(-G(p_central) + sum_i alpha_i (D+_i - D-_i)/2)
@@ -135,11 +150,16 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
 
         def diss_ax(ax):
             Dp, Dm = _axis_diffs(V, hs_j[ax], ax)
-            return alpha_g[ax] * (Dp - Dm) * 0.5
+            a = jnp.abs(f[..., ax]) if lf == "local" else alpha_g[ax]
+            return a * (Dp - Dm) * 0.5
         diss = sum(diss_ax(ax) for ax in range(ndim))
         dt = cfl / jnp.maximum(jnp.sum(alpha_g / hs_j), 1e-6)
         V_new = jnp.minimum(l, V + dt * (jnp.minimum(0.0, H) + diss))
         V_new = jnp.maximum(V_new, lo)
+        if horizon is not None:
+            # freeze past the pseudo-time horizon (static shapes; extra
+            # sweeps become no-ops)
+            V_new = jnp.where(t < horizon, V_new, V)
         delta = jnp.max(jnp.abs(V_new - V))
         return (V_new, t + dt), (delta, t + dt)
 
@@ -181,11 +201,15 @@ def solve_hji(veh: VehicleParams,
               cfl: float = 0.5,
               fx_samples: int = 15,
               sweep_chunk: int = 0,
-              dtype=jnp.float32) -> "tuple[hji_mod.HJICache, np.ndarray]":
+              lf: str = "local",
+              horizon_s: "float | None" = None,
+              dtype=jnp.float32
+              ) -> "tuple[hji_mod.HJICache, np.ndarray, np.ndarray]":
     """Solve the avoid HJI-VI on a 7-D grid.
 
-    Returns (cache, deltas): the `HJICache` plus the per-sweep sup-norm
-    update magnitudes (convergence trace, shape (n_sweeps,))."""
+    Returns (cache, deltas, times): the `HJICache` plus the per-sweep
+    sup-norm update magnitudes and cumulative pseudo-times (convergence
+    trace, shape (n_sweeps,))."""
     knots = [np.linspace(lo, hi, k) for (lo, hi), k in zip(bounds, shape)]
     hs = [float(k[1] - k[0]) for k in knots]
     knots_j = [jnp.asarray(k, dtype) for k in knots]
@@ -208,8 +232,10 @@ def solve_hji(veh: VehicleParams,
         return hji_mod.relative_dynamics(veh, X, uR, uH)     # (..., 7)
 
     # mathematical floor: V = min-over-time of l >= min(l) = -margin
-    V, deltas, _ = solve_hji_vi(l, hs, flow, n_sweeps, cfl, floor=-margin,
-                                sweep_chunk=sweep_chunk)
+    V, deltas, times = solve_hji_vi(l, hs, flow, n_sweeps, cfl,
+                                    floor=-margin,
+                                    sweep_chunk=sweep_chunk, lf=lf,
+                                    horizon=horizon_s)
 
     # gradient field for the cache (central differences of the solution)
     hs_j = jnp.asarray(hs, dtype)
@@ -218,7 +244,7 @@ def solve_hji(veh: VehicleParams,
         axis=-1)
 
     cache = hji_mod.make_cache(knots, np.asarray(V), np.asarray(gradV))
-    return cache, np.asarray(deltas)
+    return cache, np.asarray(deltas), np.asarray(times)
 
 
 def save_cache(path: str, cache: hji_mod.HJICache,

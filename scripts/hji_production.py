@@ -55,30 +55,51 @@ def _save(out):
         json.dump(out, f, indent=1)
 
 
-def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50):
+def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50,
+                horizon_s=None, retime=True):
     # chunked launches: a single multi-minute device execution crashes
     # the remote TPU worker (watchdog); ~30 s chunks are safe
     t0 = time.perf_counter()
-    cache, deltas = HS.solve_hji(veh, shape=shape, n_sweeps=sweeps,
-                                 fx_samples=fx_samples, sweep_chunk=chunk)
+    cache, deltas, times = HS.solve_hji(
+        veh, shape=shape, n_sweeps=sweeps, fx_samples=fx_samples,
+        sweep_chunk=chunk, horizon_s=horizon_s)
     jax.block_until_ready(cache.V)
     total = time.perf_counter() - t0
-    # re-run to split compile from execute
-    t1 = time.perf_counter()
-    cache, deltas = HS.solve_hji(veh, shape=shape, n_sweeps=sweeps,
-                                 fx_samples=fx_samples, sweep_chunk=chunk)
-    jax.block_until_ready(cache.V)
-    run_s = time.perf_counter() - t1
-    return cache, deltas, total, run_s
+    run_s = total
+    if retime:
+        # re-run to split compile from execute
+        t1 = time.perf_counter()
+        cache, deltas, times = HS.solve_hji(
+            veh, shape=shape, n_sweeps=sweeps, fx_samples=fx_samples,
+            sweep_chunk=chunk, horizon_s=horizon_s)
+        jax.block_until_ready(cache.V)
+        run_s = time.perf_counter() - t1
+    return cache, deltas, times, total, run_s
 
 
-def solve_phase(out, veh, name, shape, sweeps, npz):
+def solve_phase(out, veh, name, shape, sweeps, npz, horizon_s=None,
+                retime=True):
     n_pts = int(np.prod(shape))
-    cache, deltas, total_s, run_s = timed_solve(veh, shape, sweeps)
+    cache, deltas, times, total_s, run_s = timed_solve(
+        veh, shape, sweeps, horizon_s=horizon_s, retime=retime)
+    # the avoid game between equal-agility vehicles is pursuer-won at
+    # infinite horizon (V -> floor everywhere; measured: the fully
+    # converged global-LF proto cache sat in [-3.0, -2.5] on the WHOLE
+    # grid) — the useful artifact is the FINITE-horizon value
+    # "collision forceable within horizon_s", solved with local-LF
+    # dissipation; delta at the horizon records the remaining
+    # truncation, consumed under hji_eps >= 0.05 which dominates it.
+    k_h = (int(np.searchsorted(times, horizon_s)) if horizon_s
+           else len(deltas))
+    k_h = min(max(k_h, 1), len(deltas))
     out[name] = {
         "shape": list(shape), "grid_points": n_pts, "sweeps": sweeps,
+        "horizon_s": horizon_s,
+        "pseudo_time_reached_s": round(float(times[-1]), 3),
+        "sweeps_to_horizon": k_h if horizon_s else None,
         "total_first_s": round(total_s, 2), "run_s": round(run_s, 2),
         "ms_per_sweep": round(run_s / sweeps * 1e3, 2),
+        "delta_at_horizon": float(deltas[k_h - 1]),
         "final_delta_sup": float(deltas[-1]),
         "converged_1e-3": bool(deltas[-1] < 1e-3),
     }
@@ -138,18 +159,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweeps", type=int, default=600)
     ap.add_argument("--scenarios", type=int, default=512)
+    ap.add_argument("--horizon", type=float, default=3.0,
+                    help="pseudo-time horizon (s); the finite-horizon "
+                         "avoid value is the useful artifact")
     ap.add_argument("--phase", default="all",
                     choices=["proto", "production", "refine", "all"])
+    ap.add_argument("--single-run", action="store_true",
+                    help="skip the compile/execute-splitting re-run "
+                         "(run_s then includes compile)")
     args = ap.parse_args()
     veh = x1_params()
     out = _load()
 
     if args.phase in ("proto", "all"):
         solve_phase(out, veh, "proto", HS.PROTO_SHAPE, args.sweeps,
-                    PROTO_NPZ)
+                    PROTO_NPZ, horizon_s=args.horizon,
+                    retime=not args.single_run)
     if args.phase in ("production", "all"):
         solve_phase(out, veh, "production", HS.DEFAULT_SHAPE, args.sweeps,
-                    PROD_NPZ)
+                    PROD_NPZ, horizon_s=args.horizon,
+                    retime=not args.single_run)
     if args.phase in ("refine", "all"):
         refine_phase(out, veh, args.scenarios)
 

@@ -11,20 +11,36 @@ from pigeon_tpu import hji_solve as HS
 
 @pytest.fixture(scope="module")
 def solved(x1):
-    cache, deltas = HS.solve_hji(
-        x1, shape=(11, 9, 7, 5, 5, 5, 5), n_sweeps=300, fx_samples=9)
-    return cache, deltas
+    # FINITE-horizon avoid value (T = 3 s): the infinite-horizon game
+    # between equal-agility vehicles is pursuer-won (V collapses to the
+    # floor everywhere — measured on the fully-converged proto cache),
+    # so the shipped artifact freezes at the pseudo-time horizon.
+    cache, deltas, times = HS.solve_hji(
+        x1, shape=(11, 9, 7, 5, 5, 5, 5), n_sweeps=500, fx_samples=9,
+        horizon_s=3.0)
+    return cache, deltas, times
 
 
-def test_hji_solver_converges(solved):
-    _, deltas = solved
+def test_hji_solver_reaches_horizon_and_freezes(solved):
+    _, deltas, times = solved
     assert deltas[0] > 0.1
-    assert deltas[-1] < 2e-2
     assert np.all(np.isfinite(deltas))
+    assert float(times[-1]) > 3.0          # horizon reached
+    assert float(deltas[-1]) == 0.0        # updates frozen past it
+
+
+def test_hji_finite_horizon_value_is_nondegenerate(solved):
+    """The T=3s value function must keep a meaningful unsafe-set
+    fraction — not the everywhere-unsafe infinite-horizon collapse."""
+    cache, _, _ = solved
+    V = np.asarray(cache.V)
+    unsafe = float((V <= 0.05).mean())
+    assert 0.005 < unsafe < 0.5
+    assert float(np.percentile(V, 50)) > 1.0
 
 
 def test_hji_value_bounded_and_below_target(solved, x1):
-    cache, _ = solved
+    cache, _, _ = solved
     V = np.asarray(cache.V).reshape(cache.dims)
     assert V.min() >= -3.0 - 1e-5       # floor: min l = -margin
     knots = [np.asarray(k) for k in cache.knots]
@@ -34,7 +50,7 @@ def test_hji_value_bounded_and_below_target(solved, x1):
 
 
 def test_hji_danger_ordering(solved):
-    cache, _ = solved
+    cache, _, _ = solved
     # nearly touching, head-on closing
     x_danger = jnp.asarray([3.5, 0.0, np.pi, 10.0, 0.0, 10.0, 0.0])
     # far ahead moving away (ego can always disengage)
@@ -50,7 +66,7 @@ def test_hji_solved_cache_drives_filter(solved, x1):
     constraint machinery: near the unsafe-set boundary (where the value
     gradient lives — deep inside the frozen V=-margin plateau it is zero,
     as in the reference) the constraint activates with a nonzero row."""
-    cache, _ = solved
+    cache, _, _ = solved
     # walk the head-on ray outward to find a state near the boundary with
     # a live gradient
     x_b, g_b = None, None
@@ -69,7 +85,7 @@ def test_hji_solved_cache_drives_filter(solved, x1):
 
 
 def test_hji_cache_save_load_roundtrip(solved, tmp_path):
-    cache, _ = solved
+    cache, _, _ = solved
     p = str(tmp_path / "hji_cache.npz")
     HS.save_cache(p, cache)
     loaded = HS.load_cache(p)

@@ -112,15 +112,30 @@ def test_grid_refinement_converges_first_order():
         errs.append(np.abs(np.asarray(Vk) - exact)[inner].max())
         hsteps.append(hs[0])
     assert errs[1] < errs[0] and errs[2] < errs[1]
-    # empirical order >= ~0.7 (kink limits to first order)
+    # With local-LF dissipation (the default) the COARSE levels improve
+    # the most (less smearing where |f| is small), which flattens the
+    # empirical order even though every level got MORE accurate —
+    # measured: local errs (0.249, 0.189, 0.132) vs global
+    # (0.432, 0.289, 0.189) on this ladder.  Monotone decrease plus a
+    # loose order floor is the meaningful pin.
     order = np.log(errs[0] / errs[2]) / np.log(hsteps[0] / hsteps[2])
-    assert order > 0.5
+    assert order > 0.3
+    # and local LF must dominate global LF pointwise on the sup metric
+    l, hs, X, flow, speed = _pursuit_setup(41, u_max=1.0, d_max=2.0)
+    Vg, _, tg = HS.solve_hji_vi(l, hs, flow, n_sweeps=60, lf="global")
+    Vl, _, tl = HS.solve_hji_vi(l, hs, flow, n_sweeps=60, lf="local")
+    exact = _analytic(X, speed, float(tg[-1]))
+    inner = _interior(Vg.shape, band=4)
+    eg = np.abs(np.asarray(Vg) - exact)[inner].max()
+    el = np.abs(np.asarray(Vl) - _analytic(X, speed, float(tl[-1])))[
+        inner].max()
+    assert el < eg
 
 
 def test_vehicle_wrapper_still_consistent(x1):
     """The refactored solve_hji (now delegating to solve_hji_vi) keeps
     its contract: monotone decrease from l, floor at -margin."""
-    cache, deltas = HS.solve_hji(
+    cache, deltas, _ = HS.solve_hji(
         x1, shape=(7, 7, 5, 5, 3, 3, 3), n_sweeps=40, fx_samples=5)
     V = np.asarray(cache.V).reshape(cache.dims)
     knots = [np.asarray(k) for k in cache.knots]
