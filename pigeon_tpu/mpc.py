@@ -389,7 +389,7 @@ class _PreAux(NamedTuple):
 
 
 def _banded_plan_for(cfg: MPCConfig):
-    if (cfg.solver.factor_method == "banded"
+    if (cfg.solver.factor_method in ("banded", "banded_cr")
             and cfg.formulation == "coupled" and not cfg.condensed
             and not cfg.soft):
         from pigeon_tpu.solver.banded import coupled_stage_plan

@@ -157,11 +157,14 @@ def _factor_inv(Pb, Ab, rho_vec, sigma, opts=None, banded_plan=None):
       the fixed count covers condition numbers up to ~1e6 after Ruiz.
     """
     method = getattr(opts, "factor_method", "chol") if opts else "chol"
-    if method == "banded" and banded_plan is not None and Pb.ndim == 1:
+    if (method in ("banded", "banded_cr") and banded_plan is not None
+            and Pb.ndim == 1):
         from pigeon_tpu.solver.banded import factor_inv_banded
         slots, n_, bw, nb = banded_plan
         return factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n_, bw, nb,
-                                 tp_axis=getattr(opts, "tp_axis", None))
+                                 tp_axis=getattr(opts, "tp_axis", None),
+                                 method=("cr" if method == "banded_cr"
+                                         else "scan"))
     K = (Ab.T * rho_vec[None, :]) @ Ab
     if Pb.ndim == 2:
         n0 = Pb.shape[-1]

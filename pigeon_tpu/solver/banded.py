@@ -291,11 +291,101 @@ def _chol_factor(K_diag, K_sub):
 
 
 # ---------------------------------------------------------------------------
+# Log-N horizon-parallel solve: block cyclic reduction
+# ---------------------------------------------------------------------------
+
+def _spd_inv(D):
+    """Batched SPD block inverse via unrolled Cholesky: D^-1 = L^-T L^-1."""
+    Linv = _inv_lower_unrolled(_chol_unrolled(D))
+    return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
+def _cr_level(D, L, F):
+    """One cyclic-reduction level.  D (m,bw,bw) diagonal blocks, L (m,bw,bw)
+    sub-diagonal blocks with L[0] == 0 (L[t] couples row t to column t-1),
+    F (m,bw,k) right-hand sides; m odd >= 3.  Eliminates the even-indexed
+    unknowns, returning the reduced ((m-1)/2)-block system over the odd
+    indices plus the pieces needed for back substitution."""
+    De = D[0::2]                                   # (h+1, bw, bw)
+    Dinv_e = _spd_inv(De)
+    LT = jnp.swapaxes(L, -1, -2)
+    G1 = L[1::2] @ Dinv_e[:-1]                     # L_j D_{j-1}^-1, (h,...)
+    G2 = LT[2::2] @ Dinv_e[1:]                     # L_{j+1}' D_{j+1}^-1
+    D2 = D[1::2] - G1 @ LT[1::2] - G2 @ L[2::2]
+    L2 = -G1 @ L[0::2][:-1]                        # L[0]==0 => L2[0]==0
+    F2 = F[1::2] - G1 @ F[0::2][:-1] - G2 @ F[2::2]
+    return Dinv_e, D2, L2, F2
+
+
+def _cr_back(Dinv_e, L, F, x_odd):
+    """Back-substitute the even-indexed unknowns given the odd solution."""
+    h = x_odd.shape[0]
+    bw, k = F.shape[-2], F.shape[-1]
+    z = jnp.zeros((1, bw, k), F.dtype)
+    x_prev = jnp.concatenate([z, x_odd])           # x_{j-1} for even j=2i
+    x_next = jnp.concatenate([x_odd, z])           # x_{j+1}
+    LT_next = jnp.concatenate(
+        [jnp.swapaxes(L[1::2], -1, -2),
+         jnp.zeros((1, bw, bw), L.dtype)])         # L_{j+1}' (0 past end)
+    x_e = Dinv_e @ (F[0::2] - L[0::2] @ x_prev - LT_next @ x_next)
+    m = 2 * h + 1
+    out = jnp.zeros((m, bw, k), F.dtype)
+    return out.at[0::2].set(x_e).at[1::2].set(x_odd)
+
+
+def _cr_solve(D, L, F):
+    if D.shape[0] == 1:
+        return _spd_inv(D) @ F
+    Dinv_e, D2, L2, F2 = _cr_level(D, L, F)
+    x_odd = _cr_solve(D2, L2, F2)
+    return _cr_back(Dinv_e, L, F, x_odd)
+
+
+def solve_block_tridiag_cr(K_diag, K_sub, rhs):
+    """Horizon-parallel solve of the SPD block-tridiagonal system via block
+    cyclic reduction: ceil(log2 nb) elimination levels of BATCHED block
+    matmuls/inverses instead of the O(nb) sequential Cholesky stage scan
+    (`_chol_factor_impl`).  This is the SURVEY §5 long-context obligation
+    realized on the KKT factorization axis itself — each level halves the
+    number of coupled stages, every block op within a level is independent
+    and vmap-batched onto the MXU, so wall-clock depth is logarithmic in
+    the horizon length.
+
+    K_diag (nb, bw, bw); K_sub (nb, bw, bw) with K_sub[0] == 0 and K_sub[t]
+    coupling stage t to stage t-1 (the `factor_inv_banded` convention);
+    rhs (nb, bw, k).  Returns x with K x = rhs, shape (nb, bw, k).
+
+    The grid is padded with decoupled identity blocks to m = 2^q - 1 so
+    every level has an odd block count; padded unknowns solve to zero and
+    never couple back.  Cyclic reduction of an SPD block-tridiagonal
+    matrix keeps every reduced diagonal block SPD, so the unrolled
+    Cholesky block inverses stay well-posed at each level.
+    """
+    nb, bw = K_diag.shape[0], K_diag.shape[-1]
+    dtype = K_diag.dtype
+    q = max(1, int(np.ceil(np.log2(nb + 1))))
+    m = 2 ** q - 1
+    pad = m - nb
+    with jax.default_matmul_precision("highest"):
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(bw, dtype=dtype), (pad, bw, bw))
+            D = jnp.concatenate([K_diag, eye])
+            L = jnp.concatenate([K_sub, jnp.zeros((pad, bw, bw), dtype)])
+            F = jnp.concatenate(
+                [rhs, jnp.zeros((pad,) + rhs.shape[1:], dtype)])
+        else:
+            D, L, F = K_diag, K_sub, rhs
+        x = _cr_solve(D, L, F)
+    return x[:nb]
+
+
+# ---------------------------------------------------------------------------
 # Banded K^-1
 # ---------------------------------------------------------------------------
 
 def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
-                      nb: int, tp_axis: str | None = None):
+                      nb: int, tp_axis: str | None = None,
+                      method: str = "scan"):
     """Dense K^-1 via block-tridiagonal Cholesky of the stage-permuted K.
 
     Pb (n,), Ab (m, n), rho_vec (m,) are the scaled problem quantities;
@@ -309,6 +399,11 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
     shards the dominant factorization flops (substitution + W'W) across
     chips for the latency-critical small-batch configuration (SURVEY.md
     §2 "Tensor parallel" axis).
+
+    method: "scan" (default) — sequential block-Cholesky stage scan +
+    forward substitution (O(nb) depth, lane-batched Pallas kernel when
+    vmapped); "cr" — block cyclic reduction of K X = I (O(log nb) depth,
+    `solve_block_tridiag_cr`) for long horizons.
     """
     dtype = Pb.dtype
     P_ext = jnp.concatenate([Pb + sigma, jnp.ones((1,), dtype)])
@@ -331,12 +426,29 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
     K_sub = K_ext[slots[1:, :, None], slots[:-1, None, :]]  # (nb-1, bw, bw)
     K_sub = jnp.concatenate([jnp.zeros((1, bw, bw), dtype), K_sub])
 
-    Linvs, Ss = _chol_factor(K_diag, K_sub)
-
     n_perm = nb * bw
     eye_full = jnp.zeros((n_perm, n_perm), dtype)
     rows = jnp.arange(n_perm)
     eye_full = eye_full.at[rows, rows].set(1.0)
+
+    if method == "cr":
+        if tp_axis is not None:
+            raise NotImplementedError(
+                "cyclic-reduction factor does not compose with tp_axis")
+        X = solve_block_tridiag_cr(K_diag, K_sub,
+                                   eye_full.reshape(nb, bw, n_perm))
+        Kinv = _unpermute(X.reshape(n_perm, n_perm), slots, n, n_perm)
+        # one Newton polish X <- X(2I - KX): the log-depth elimination
+        # compounds Schur-complement rounding across levels in fp32 (the
+        # sequential Cholesky scan does not), and the polish squares that
+        # residual for two extra matmuls — measured to restore closed-loop
+        # convergence parity with the scan factor.
+        with jax.default_matmul_precision("highest"):
+            K_dense = K_full + jnp.diag(Pb + sigma)
+            Kinv = Kinv @ (2.0 * jnp.eye(n, dtype=dtype) - K_dense @ Kinv)
+        return Kinv
+
+    Linvs, Ss = _chol_factor(K_diag, K_sub)
 
     if tp_axis is not None:
         # tensor-parallel: this member solves only its column slice of I
@@ -373,6 +485,10 @@ def factor_inv_banded(Pb, Ab, rho_vec, sigma, slots, n: int, bw: int,
         else:
             W = ys.reshape(n_perm, n_perm)
             Kinv_perm = W.T @ W
+    return _unpermute(Kinv_perm, slots, n, n_perm)
+
+
+def _unpermute(Kinv_perm, slots, n: int, n_perm: int):
     # un-permute: real variable i lives at permuted position pos[i]
     # (slots is static numpy, so this is all trace-time index arithmetic)
     slots_flat = slots.reshape(-1)
