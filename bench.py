@@ -62,20 +62,22 @@ def _flagship_cfg(args, platform):
 
 
 def _decoupled_cfg(platform):
-    """The reference's DEFAULT controller (X1DMPC, `src/Pigeon.jl:34`):
-    lateral 4-state QP over the N=31 two-timescale horizon (n=245 vars /
-    m=395 rows) — too large for the 128-lane VMEM solve, so it runs the
-    MXU Pallas backend (sparse formulations' path)."""
+    """The reference's DEFAULT controller (X1DMPC, `src/Pigeon.jl:34`) in
+    its TPU-native SOFT CONDENSED form (qp/decoupled.py build_qp_soft):
+    states/pins/slacks/slew eliminated, n = 30 steering variables /
+    m = 180 rows over the N=31 two-timescale horizon (vs n=245/m=395
+    sparse), solved on the lane-batched VPU backend.  Equivalence to the
+    sparse formulation: tests/test_soft_decoupled.py."""
     import dataclasses as _dc
 
     from pigeon_tpu import mpc as M
     from pigeon_tpu.config import SolverOptions
 
-    backend = "pallas" if platform == "tpu" else "xla"
-    cfg = M.x1_decoupled_config()
+    backend = "lanes" if platform == "tpu" else "xla"
+    cfg = M.x1_decoupled_config(soft=True)
     return _dc.replace(cfg, solver=SolverOptions(
         max_iter=300, check_every=300, eps_abs=1e-3, eps_rel=1e-3,
-        backend=backend, scaling_iters=2, pallas_check_inner=25))
+        backend=backend, scaling_iters=2, pallas_check_inner=10))
 
 
 def decoupled_record(args, tube, cache, tunnel_s, platform):
@@ -109,7 +111,8 @@ def decoupled_record(args, tube, cache, tunnel_s, platform):
         "solves_per_s": round(B / step_dev, 1),
         "converged_frac": round(float(np.asarray(conv)[-1].mean()), 4),
         "iters_mean": round(float(np.asarray(iters)[-1].mean()), 1),
-        "n_vars": 245, "m_rows": 395, "horizon_N": 31,
+        "n_vars": 30, "m_rows": 180, "horizon_N": 31,
+        "formulation": "soft-condensed-decoupled",
         "solver_backend": cfg.solver.backend,
     }
     # B=1 real-time latency (chain of dependent on-device steps)
@@ -288,7 +291,7 @@ def main():
                     default=[1, 16, 64])
     ap.add_argument("--skip-latency", action="store_true")
     ap.add_argument("--skip-decoupled", action="store_true")
-    ap.add_argument("--decoupled-batch", type=int, default=1024)
+    ap.add_argument("--decoupled-batch", type=int, default=8192)
     args = ap.parse_args()
 
     jax = _setup_jax()

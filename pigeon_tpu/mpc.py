@@ -47,12 +47,13 @@ class MPCConfig:
     # (qp/condensed.py): n 193->103 (one MXU tile), m 290->200, no stiff
     # dynamics equality rows; mathematically equivalent QP.
     condensed: bool = False
-    # soft=True selects the SOFT condensed formulation (qp/condensed.py
-    # SoftQP): additionally eliminates the q0/u0 pins, slack variables and
-    # slew auxiliaries — n=30, m=124, ZERO equality rows; slack costs
-    # become per-row exact penalties in the ADMM z-update.  Pairs with
-    # solver backend "lanes" (solver/lane_admm.py).  Implies condensed
-    # semantics; `condensed` is ignored when set.
+    # soft=True selects the SOFT condensed formulation: additionally
+    # eliminates the q0/u0 pins, slack variables and slew auxiliaries —
+    # coupled: n=30, m=124 (qp/condensed.py SoftQP); decoupled: n=30,
+    # m=180 (qp/decoupled.py build_qp_soft) — ZERO equality rows; slack
+    # costs become per-row exact penalties in the ADMM z-update.  Pairs
+    # with solver backend "lanes" (solver/lane_admm.py).  Implies
+    # condensed semantics; `condensed` is ignored when set.
     soft: bool = False
     timed_mode: bool = False              # reference tracking_mode :traj
     hji_eps: float = 0.05                 # reference HJI_eps (Pigeon.jl:67)
@@ -157,7 +158,8 @@ def init_carry(cfg: MPCConfig, dtype=jnp.float32) -> MPCCarry:
         else:
             L = qp_coupled.get_layout(hz, cfg.coupled.use_walls)
     else:
-        L = qp_decoupled.get_layout(hz)
+        L = (qp_decoupled.get_soft_layout(hz) if cfg.soft
+             else qp_decoupled.get_layout(hz))
     return MPCCarry(
         prev_ts=jnp.arange(1, N + 1, dtype=dtype),
         q_prev=jnp.zeros((N, nx), dtype),
@@ -478,8 +480,15 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
         gradV = jnp.zeros(7, q0.dtype)
         x_rel = hji_mod.relative_state(q0, other_car)
         data = qp_decoupled.DecoupledStageData(dt=dt, qs=qs, us=us, ps=ps)
-        qp = qp_decoupled.build_qp(veh, cfg.decoupled, hz, data)
         G_map = g_off = w_soft = q0_node = None
+        if cfg.soft:
+            from pigeon_tpu.solver.admm import QPData
+            sqp = qp_decoupled.build_qp_soft(veh, cfg.decoupled, hz, data)
+            qp = QPData(sqp.P, sqp.q, sqp.A, sqp.l, sqp.u)
+            G_map, g_off, w_soft = sqp.G, sqp.g, sqp.w
+            q0_node = qs[0]
+        else:
+            qp = qp_decoupled.build_qp(veh, cfg.decoupled, hz, data)
 
     warm_start = QPWarmStart(
         x=jnp.where(carry.solved, carry.warm_x, 0.0),
@@ -516,6 +525,10 @@ def _post_solve(cfg: MPCConfig, carry: MPCCarry, q0,
                                             cfg.coupled.use_walls)
             q_sol, u_sol = qp_coupled.extract_trajectory(
                 hz, sol.x, veh, cfg.coupled.use_walls)
+    elif cfg.soft:
+        u2 = qp_decoupled.extract_control_soft(hz, sol.x, aux.us)
+        q_sol, u_sol = qp_decoupled.extract_trajectory_soft(
+            hz, sol.x, aux.G, aux.g, aux.q0_node, aux.us)
     else:
         u2 = qp_decoupled.extract_control(hz, sol.x, aux.us)
         L = qp_decoupled.get_layout(hz)

@@ -165,3 +165,186 @@ def extract_control(hz: HorizonParams, x: jnp.ndarray, us: jnp.ndarray):
     `src/decoupled_lat_long.jl:275-278`)."""
     L = get_layout(hz)
     return jnp.stack([x[L.d[1]], us[1, 1]])
+
+
+# ---------------------------------------------------------------------------
+# SOFT condensed decoupled formulation (the TPU-native form of the
+# reference's DEFAULT controller, X1DMPC `src/Pigeon.jl:34`)
+# ---------------------------------------------------------------------------
+
+class SoftDecoupledLayout:
+    """Static plan for the SOFT condensed decoupled (lateral) QP.
+
+    Same elimination strategy as the coupled `SoftCondensedLayout`
+    (`qp/condensed.py`), applied to the lateral-only formulation
+    (`src/decoupled_lat_long.jl:106-273`):
+
+      - the 4 lateral states are eliminated through the LTV dynamics
+        (rollout map G/g over the free steering knots);
+      - the q[0]/d[0] pins are substituted out (parameters, not
+        decisions);
+      - envelope slacks sig + their >=0 rows become per-row exact L1
+        penalties in the ADMM z-update (the reference's slack sharing
+        pairs +-half-planes whose violations are mutually exclusive, so
+        per-row penalties are exact — see SoftCondensedLayout docstring);
+      - the dd slew variables + diff equality rows fold into the dense
+        Hessian (tridiagonal R_ddelta coupling) and two-entry rate rows.
+
+    Result for the default decoupled config (N=31): n = N-1 = 30
+    steering variables, m = 6T = 180 rows (T = 30), ZERO equality rows —
+    the whole per-instance problem fits one 128-lane tile of the
+    lane-batched VPU solver (`solver/lane_admm.py`), vs n=245/m=395 for
+    the sparse form.  Mathematically equivalent: eliminated rows were
+    equalities, penalties are exact.
+
+    Row order: delta (T, hard) | envelope (4T, soft) | rate (T, hard).
+    """
+
+    def __init__(self, hz: HorizonParams):
+        N, T = hz.N, hz.N_short + hz.N_long
+        self.hz = hz
+        self.n = N - 1            # steering at knots 1..N-1
+        self.u = np.arange(N - 1)  # var index of delta at knot t+1
+        r0 = 0
+        self.r_delta = np.arange(r0, r0 + T); r0 += T
+        self.r_env = np.arange(r0, r0 + 4 * T).reshape(T, 4); r0 += 4 * T
+        self.r_rate = np.arange(r0, r0 + T); r0 += T
+        self.m = r0
+        self.eq_rows = np.zeros((0,), np.int64)
+
+        # static scatter indices for the identity/rate row families
+        rows = [self.r_delta, self.r_rate[0:1],
+                np.repeat(self.r_rate[1:], 2)]
+        cols = [self.u[:T], self.u[0:1],
+                np.stack([self.u[1:T], self.u[0:T - 1]], axis=-1).ravel()]
+        self._sp_rows = np.concatenate(rows)
+        self._sp_cols = np.concatenate(cols)
+        self._sp_vals = np.concatenate([
+            np.ones(T), np.ones(1),
+            np.tile(np.asarray([1.0, -1.0]), T - 1)])
+
+
+@functools.lru_cache(maxsize=None)
+def get_soft_layout(hz: HorizonParams) -> SoftDecoupledLayout:
+    return SoftDecoupledLayout(hz)
+
+
+def build_qp_soft(veh: VehicleParams, ctl: DecoupledControlParams,
+                  hz: HorizonParams, data: DecoupledStageData):
+    """Assemble the soft condensed decoupled QP (same double-linearization
+    semantics as `build_qp`; reference `src/decoupled_lat_long.jl:134-226`).
+
+    Returns a `qp/condensed.py SoftQP` (shape-generic: G is (T, 4, n)
+    here)."""
+    from pigeon_tpu.qp.condensed import SoftQP, rollout_affine
+
+    S, Lg, N = hz.N_short, hz.N_long, hz.N
+    T = S + Lg
+    L = get_soft_layout(hz)
+    dt, qs, us, ps = data.dt, data.qs, data.us, data.ps
+    dtype = qs.dtype
+    n = L.n
+
+    def f(q, ur):
+        return dyn.vehicle_ode(veh, "lateral", q, ur[:2], ur[2:])
+
+    ur = jnp.concatenate([us, ps], axis=-1)        # (N, 6)
+    A_all, B0_all, Bf_all, c_all = dz.linearize_horizon_fused(
+        f, qs, ur, dt, S, 1, squarings=4, order=6, precision="high")
+
+    d_curr = us[0, 0]
+    q_curr = qs[0]
+
+    # ---- rollout over the FREE steering knots, pins into the offset ----
+    # q_{t+1} = G[t] d_free + g[t]; d_free = delta at knots 1..N-1.
+    E = jnp.zeros((T, 4, n + 1), dtype)
+    E = E.at[0, :, 0:1].add(Bf_all[0])     # stage 0: Bf hits knot 1
+    tt = jnp.arange(1, T)
+    E = E.at[tt[:, None], jnp.arange(4)[None, :], (tt - 1)[:, None]
+             ].add(B0_all[1:T, :, 0])
+    E = E.at[tt[:, None], jnp.arange(4)[None, :], tt[:, None]
+             ].add(Bf_all[1:T, :, 0])
+    e0 = A_all[0] @ q_curr + c_all[0] + B0_all[0, :, 0] * d_curr
+    E = E.at[:, :, n].add(jnp.concatenate([e0[None], c_all[1:T]]))
+    M_cum = rollout_affine(A_all, E)
+    G = M_cum[:, :, :n]                    # (T, 4, n)
+    g = M_cum[:, :, n]                     # (T, 4)
+
+    # envelope + bounds at the t+1 nodes (reference :192-211)
+    Ux_t = ps[1:, 0]
+    Fxf_t, Fxr_t = dyn.longitudinal_split(veh, us[1:, 1])
+    lim = dyn.stable_limits(veh, Ux_t, Fxf_t, Fxr_t)
+    d_min = jnp.maximum(lim.delta_min, -veh.delta_max)
+    d_max = jnp.minimum(lim.delta_max, veh.delta_max)
+    dd_lim = ctl.delta_dot_max * dt
+
+    H_veh = jnp.broadcast_to(lim.H_veh, (T, 4, 2)).astype(dtype)
+    Henv = jnp.einsum("tij,tjk->tik", H_veh, G[:, 0:2, :])   # (T, 4, n)
+    Henv_off = jnp.einsum("tij,tj->ti", H_veh, g[:, 0:2])    # (T, 4)
+
+    A = jnp.zeros((L.m, n), dtype)
+    A = A.at[jnp.asarray(L.r_env).ravel()].set(Henv.reshape(4 * T, n))
+    A = A.at[jnp.asarray(L._sp_rows), jnp.asarray(L._sp_cols)].add(
+        jnp.asarray(L._sp_vals, dtype))
+
+    big = jnp.asarray(INF, dtype)
+    lo = jnp.concatenate([
+        d_min,
+        jnp.full(4 * T, -INF, dtype),
+        jnp.concatenate([d_curr[None] - dd_lim[0:1], -dd_lim[1:]]),
+    ])
+    hi = jnp.concatenate([
+        d_max,
+        lim.G_veh.reshape(-1) - Henv_off.reshape(-1),
+        jnp.concatenate([d_curr[None] + dd_lim[0:1], dd_lim[1:]]),
+    ])
+
+    # soft-row weights (reference slack linear costs W_beta, W_r on sig)
+    w_env = jnp.stack([ctl.W_beta * dt, ctl.W_beta * dt,
+                       ctl.W_r * dt, ctl.W_r * dt], axis=-1)  # (T, 4)
+    w = jnp.concatenate([jnp.full(T, big), w_env.reshape(-1),
+                         jnp.full(T, big)])
+
+    # ---- objective ------------------------------------------------------
+    # state tracking (Q_dpsi, Q_e on rows 2:4) through the rollout
+    Wst = 2.0 * dt[:, None] * jnp.stack(
+        [jnp.full_like(dt, ctl.Q_dpsi), jnp.full_like(dt, ctl.Q_e)],
+        axis=-1)                                            # (T, 2)
+    Gsel = G[:, 2:4, :]
+    gsel = g[:, 2:4]
+    P = jnp.einsum("tkn,tk,tkm->nm", Gsel, Wst, Gsel)
+    qlin = jnp.einsum("tkn,tk,tk->n", Gsel, Wst, gsel)
+    P = P + jnp.diag(jnp.concatenate(
+        [2.0 * ctl.R_delta * dt, jnp.zeros(n - T, dtype)]))
+
+    # slew quadratic (dd eliminated): sum_t (R_ddelta/dt_t)(d_{t+1}-d_t)^2
+    if ctl.R_ddelta != 0.0:
+        cw = 2.0 * ctl.R_ddelta / dt                        # (T,)
+        vidx = jnp.asarray(L.u[:T])
+        P = P.at[vidx[0], vidx[0]].add(cw[0])
+        qlin = qlin.at[vidx[0]].add(-cw[0] * d_curr)
+        a, b_ = vidx[1:], vidx[:-1]
+        P = P.at[a, a].add(cw[1:])
+        P = P.at[b_, b_].add(cw[1:])
+        P = P.at[a, b_].add(-cw[1:])
+        P = P.at[b_, a].add(-cw[1:])
+
+    return SoftQP(P=P, q=qlin, A=A, l=lo, u=hi, w=w, G=G, g=g)
+
+
+def extract_control_soft(hz: HorizonParams, x: jnp.ndarray,
+                         us: jnp.ndarray):
+    """(delta, Fx): steering from the first free knot, Fx feedforward
+    (reference `get_next_control`, `src/decoupled_lat_long.jl:275-278`)."""
+    return jnp.stack([x[0], us[1, 1]])
+
+
+def extract_trajectory_soft(hz: HorizonParams, x: jnp.ndarray, G, g,
+                            q_curr, us):
+    """Full (q, u) solution; states recovered through the rollout map,
+    knot 0 is the pinned current state/steering."""
+    q_tail = jnp.einsum("tij,j->ti", G, x) + g             # (T, 4)
+    q_sol = jnp.concatenate([q_curr[None], q_tail])        # (N, 4)
+    d_sol = jnp.concatenate([us[0:1, 0], x])               # (N,)
+    u_sol = jnp.stack([d_sol, us[:, 1]], axis=-1)          # (N, 2)
+    return q_sol, u_sol

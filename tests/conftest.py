@@ -38,6 +38,19 @@ import pytest  # noqa: E402
 REFERENCE_PATHS = "/root/reference/test/path"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled-executable caches at each module boundary.
+
+    A full-suite run accumulates ~170 tests' jitted executables in one
+    process; past ~150 the XLA CPU backend_compile segfaults
+    (reproducibly, position-stable, and absent when the same module runs
+    alone).  Clearing per module keeps the process small and the suite
+    runnable in ONE pytest invocation."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def x1():
     from pigeon_tpu.config import x1_params
