@@ -105,13 +105,16 @@ def decoupled_record(args, tube, cache, tunnel_s, platform):
         if i > 0:                              # first timed launch warms
             totals.append(time.perf_counter() - t1)
     step_dev = max(float(np.median(totals)) - tunnel_s, 1e-9) / chain
+    from pigeon_tpu.qp.decoupled import get_soft_layout
+    L = get_soft_layout(cfg.hz)
     rec = {
         "batch": B,
         "device_step_ms": round(step_dev * 1e3, 3),
         "solves_per_s": round(B / step_dev, 1),
         "converged_frac": round(float(np.asarray(conv)[-1].mean()), 4),
         "iters_mean": round(float(np.asarray(iters)[-1].mean()), 1),
-        "n_vars": 30, "m_rows": 180, "horizon_N": 31,
+        "n_vars": int(L.n), "m_rows": int(L.m),
+        "horizon_N": int(cfg.hz.N_short + cfg.hz.N_long + 1),
         "formulation": "soft-condensed-decoupled",
         "solver_backend": cfg.solver.backend,
     }

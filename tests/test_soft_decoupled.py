@@ -76,28 +76,55 @@ def test_soft_decoupled_matches_sparse():
 
 def test_soft_decoupled_lane_backend():
     """The lane-batched solver (interpret mode on CPU) reproduces the XLA
-    backend on the soft decoupled QP within solver tolerance."""
+    backend on the soft decoupled QP within solver tolerance.
+
+    Driven through `mpc_step_batched` — the only entry point that
+    dispatches to `solve_lanes_batched` (plain `mpc_step` always runs the
+    generic XLA iteration body regardless of `backend`), so this test
+    genuinely exercises the lane kernel on the n=30/m=180 decoupled QP.
+
+    Tolerance 1e-5, not 1e-6: the lane kernel iterates in fp32, whose
+    accumulated-residual floor on this QP (row scales ~1e4 N) sits between
+    1e-5 and 1e-6 (measured: warm steps converge in 50 iters at 1e-5 and
+    stall at 8000 iters at 1e-6); production runs at 1e-3.
+    """
     tube = trj.tube_from_world(f"{REFERENCE_PATHS}/curvy.world",
                                pad_to=1024)
-    q0, t0 = _start(tube)
+    cache = H.inactive_cache()
+    B = 2
+    k0 = np.asarray([150, 400])
+    q0 = jnp.asarray(np.stack(
+        [np.asarray(tube.E)[k0] + 0.4, np.asarray(tube.N)[k0] - 0.3,
+         np.asarray(tube.psi)[k0] + 0.03, np.asarray(tube.V)[k0],
+         np.full(B, 0.1), np.full(B, 0.02)], axis=1))
+    ts = jnp.asarray(np.asarray(tube.t)[k0])
+    u0 = jnp.zeros((B, 3))
+    oc = jnp.broadcast_to(jnp.asarray([1e4, 1e4, 0.0, 0.0]), (B, 4))
     outs = {}
     for backend, so in (
         ("xla", SolverOptions(max_iter=4000, check_every=200,
-                              eps_abs=1e-6, eps_rel=1e-6, backend="xla",
+                              eps_abs=1e-5, eps_rel=1e-5, backend="xla",
                               scaling_iters=2)),
         ("lanes", SolverOptions(max_iter=2000, check_every=100,
-                                eps_abs=1e-6, eps_rel=1e-6,
+                                eps_abs=1e-5, eps_rel=1e-5,
                                 backend="lanes", scaling_iters=2,
                                 pallas_check_inner=25)),
     ):
         cfg = dataclasses.replace(M.x1_decoupled_config(soft=True),
                                   solver=so)
-        us, conv, es = _run(cfg, tube, q0, t0, n_steps=25)
-        assert conv.mean() == 1.0, backend
-        outs[backend] = us
-    d = np.abs(outs["xla"] - outs["lanes"])
-    assert d[:, 0].max() < 2e-4, d[:, 0].max()
-    assert d[:, 1:].max() < 2.0, d[:, 1:].max()
+        carry = M.init_carry(cfg, dtype=jnp.float64)
+        cb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape),
+                          carry)
+        cb, u1, d1 = M.mpc_step_batched(cfg, tube, cache, cb, q0, u0,
+                                        oc, ts)
+        cb, u2, d2 = M.mpc_step_batched(cfg, tube, cache, cb, q0, u1,
+                                        oc, ts + 0.01)
+        assert np.all(np.asarray(d2.converged)), backend
+        outs[backend] = (np.asarray(u1), np.asarray(u2))
+    for i in range(2):
+        d = np.abs(outs["xla"][i] - outs["lanes"][i])
+        assert d[:, 0].max() < 2e-4, (i, d)
+        assert d[:, 1:].max() < 2.0, (i, d)
 
 
 def test_soft_decoupled_batched_step():
