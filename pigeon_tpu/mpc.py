@@ -76,6 +76,23 @@ class MPCConfig:
     # reference publishes the raw QP value and relies on OSQP convergence
     # + the ECU's physical limits).
     clamp_commands: bool = True
+    # hji_row_normalize: condition the HJI half-plane row before it enters
+    # the QP (deviation from the reference, which injects the raw
+    # linearized Hamiltonian row, src/coupled_lat_long.jl:259).  Measured
+    # motivation (round 5): at active states the raw row is scale-wild
+    # (|M.unorm| spans 0.06..18 across states) and frequently infeasible
+    # within the control box by 1-3 orders of magnitude (|b|/||M|| p50=10,
+    # p99=827 in normalized-u units where the box is [-1,1]^2) — ADMM
+    # convergence collapses to 0.25 on active steps.  The half-plane is
+    # scale-invariant, so the row is (a) normalized to unit norm in the
+    # normalized-u metric and (b) its lower bound clamped to the best
+    # value achievable over the control box (the l1 norm of the unit row)
+    # minus a 5% margin — "steer as hard toward u* as the box allows"
+    # replaces an unreachable demand.  Geometry of the feasible-case
+    # constraint is unchanged; the infeasible case becomes a well-scaled
+    # push toward the HJI-optimal control instead of a numerically wild
+    # one.  False replicates the reference's raw row.
+    hji_row_normalize: bool = True
 
 
 def x1_coupled_config(**kw) -> MPCConfig:
@@ -435,6 +452,19 @@ def _pre_solve(cfg: MPCConfig, tube, cache, carry: MPCCarry, q0, u0,
         if cfg.coupled.use_hji:
             M, b, V_hji, gradV = hji_mod.reachability_constraint(
                 veh, cache, x_rel, cfg.hji_eps, u_lin)
+            if cfg.hji_row_normalize:
+                # unit-normalize in the normalized-u metric + clamp the
+                # bound to the achievable set (see MPCConfig docstring)
+                unorm = jnp.asarray(qp_coupled.u_normalization(veh),
+                                    q0.dtype)
+                Mn = M * unorm
+                nrm = jnp.sqrt(jnp.sum(Mn * Mn))
+                live = nrm > 1e-9
+                scale = jnp.where(live, 1.0 / jnp.maximum(nrm, 1e-9), 1.0)
+                M = M * scale
+                b = b * scale
+                l1 = jnp.sum(jnp.abs(Mn)) * scale     # ||Mhat.unorm||_1
+                b = jnp.where(live, jnp.maximum(b, -0.95 * l1), b)
         else:
             M = jnp.zeros(2, q0.dtype)
             b = jnp.ones((), q0.dtype)

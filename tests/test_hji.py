@@ -175,3 +175,55 @@ def test_interp_vmap_batch(rng):
     V, g = jax.vmap(lambda x: hji.interpolate(cache, x))(xs)
     np.testing.assert_allclose(np.asarray(V), np.asarray(xs) @ a, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_hji_row_normalization_in_pre_solve(x1):
+    """With hji_row_normalize (default), the HJI row entering the QP has
+    unit norm in the normalized-u metric and a lower bound clamped to the
+    achievable set (round-5 conditioning fix: raw rows are infeasible
+    within the control box by up to 3 orders of magnitude at active
+    states, collapsing ADMM convergence to 0.25 on active steps)."""
+    import dataclasses
+    from pigeon_tpu import mpc as M
+    from pigeon_tpu import trajectory as trj
+    from pigeon_tpu.qp.coupled import u_normalization
+    from tests.conftest import REFERENCE_PATHS
+
+    cache = hji.synthetic_cache(n_per_dim=5)
+    tube = trj.tube_from_world(f"{REFERENCE_PATHS}/skidpadoval.world",
+                               pad_to=1024)
+    cfg = M.x1_coupled_config(soft=True)
+    # place the other car 2 m ahead of the ego on the path: V <= eps
+    k = 200
+    q0 = jnp.asarray([float(tube.E[k]), float(tube.N[k]),
+                      float(tube.psi[k]), 8.0, 0.0, 0.0])
+    psi = float(tube.psi[k])
+    oc = jnp.asarray([float(tube.E[k]) - 2.0 * jnp.sin(psi),
+                      float(tube.N[k]) + 2.0 * jnp.cos(psi),
+                      psi + jnp.pi, 8.0])
+    x_rel = hji.relative_state(q0, oc)
+    V, _ = hji.interpolate(cache, x_rel)
+    assert float(V) <= cfg.hji_eps, float(V)
+
+    unorm = np.asarray(u_normalization(cfg.veh))
+    carry = M.init_carry(cfg)
+    u0 = jnp.zeros(3)
+    for norm_on in (True, False):
+        c = dataclasses.replace(cfg, hji_row_normalize=norm_on)
+        qp, warm, aux = M._pre_solve(c, tube, cache, carry, q0, u0, oc,
+                                     float(tube.t[k]))
+        # the first HJI row of the soft QP (layout r_hji[0]) carries
+        # M*unorm; lower bound -b
+        from pigeon_tpu.qp.condensed import get_soft_layout
+        L = get_soft_layout(c.hz, c.coupled.use_walls)
+        row = np.asarray(qp.A)[L.r_hji[0]]
+        cols = L.u[0]          # (delta, Fx) columns at knot 1
+        rv = row[cols]
+        lo = float(np.asarray(qp.l)[L.r_hji[0]])
+        if norm_on:
+            np.testing.assert_allclose(np.linalg.norm(rv), 1.0, rtol=1e-5)
+            l1 = np.abs(rv).sum()
+            assert lo <= 0.95 * l1 + 1e-6, (lo, l1)
+        else:
+            # raw row: same direction, arbitrary scale
+            assert np.linalg.norm(rv) > 0
