@@ -43,7 +43,12 @@ from pigeon_tpu import hji as hji_mod
 from pigeon_tpu.config import VehicleParams
 
 DEFAULT_BOUNDS = (
-    (-20.0, 20.0),    # dE (longitudinal offset, ego frame)
+    # dE range covers the Monte-Carlo scenario families END TO END
+    # (montecarlo.sample_scenarios: oncoming_gap up to 40 m + pose noise
+    # in the safety A/B regimes) — round 4 used +-20 m, which left
+    # in_grid_frac at 0.29-0.54: most scenarios STARTED outside the grid
+    # where V=+inf makes the filter structurally inert (VERDICT r4).
+    (-48.0, 48.0),    # dE (longitudinal offset, ego frame)
     (-12.0, 12.0),    # dN (lateral offset)
     (-np.pi, np.pi),  # dpsi
     (1.0, 18.0),      # Ux
@@ -51,14 +56,15 @@ DEFAULT_BOUNDS = (
     (0.5, 18.0),      # V human
     (-1.5, 1.5),      # r
 )
-# Production default (raised round 3; ~1.3x per axis / 5.3x the points of
-# the original prototyping grid): 9.65M points, solved + timed on a v5e
-# chip by scripts/hji_production.py — see HJI_PROD.json.  Larger grids hit
-# single-chip limits in this environment: a 2x-per-axis 54M grid exceeds
-# HBM at compile time (XLA planned 39.8 G), and a 13.75M grid crashed the
-# TPU worker at runtime (reproducibly); shard the grid's leading axis
-# over a mesh for larger grids.  Tests pass explicit small shapes.
-DEFAULT_SHAPE = (17, 13, 11, 9, 7, 9, 7)
+# Production default (round 5): wider dE box (above) + refined gradient
+# axes.  The half-plane row M the QP consumes is built from gradV over
+# (Ux, Uy, r), so those axes got the round-5 refinement priority.  Grids
+# this size exceed what a single whole-grid sweep can hold in HBM
+# intermediates; the slab-chunked sweep (`slab_chunk`) bounds peak
+# footprint to O(grid/slabs) flow intermediates, and the mesh-sharded
+# solver (`solve_hji_vi_sharded`) splits axis 0 across devices with
+# ppermute halo exchange.  Tests pass explicit small shapes.
+DEFAULT_SHAPE = (33, 13, 11, 11, 9, 9, 9)
 PROTO_SHAPE = (15, 11, 9, 7, 5, 7, 5)
 
 
@@ -80,9 +86,69 @@ def collision_distance(x7, margin: float):
     return jnp.hypot(x7[..., 0], x7[..., 1]) - margin
 
 
+def _sweep_body(V, l, hs_j, flow_fn, cfl, lo, lf, horizon, t, dt_in=None,
+                start0=0, dt_cap=None):
+    """One LLF sweep over a (slab of a) grid.  Returns
+    (V_new_unfrozen_candidate applied, alpha_local, delta, dt).
+
+    dt_in: None computes the CFL step from THIS slab's alpha (correct only
+    when the slab is the whole grid); a value uses it verbatim (chunked /
+    sharded paths supply a globally-reduced or lagged step).
+    start0: global axis-0 offset of this slab (flow_fn needs it to build
+    its coordinate slab).
+    """
+    ndim = l.ndim
+    # two passes over axes: gradV first, dissipation after f is known —
+    # keeping only one (Dp, Dm) pair live at a time caps the peak
+    # footprint at ~4 slab-sized arrays instead of 2*ndim (the production
+    # 7-D grid is tens of M points; 14 live copies would not fit HBM).
+    # The shifts are recomputed in pass 2 (cheap VPU work).
+    gradV = jnp.stack(
+        [sum(_axis_diffs(V, hs_j[ax], ax)) * 0.5
+         for ax in range(ndim)], axis=-1)
+    f = flow_fn(start0, gradV)                        # (..., N)
+    H = jnp.sum(gradV * f, axis=-1)
+    # Lax-Friedrichs dissipation (pointwise-local by default; global
+    # per-axis with lf="global").  In this module's sign convention the
+    # PDE is V_t = min(0, H(x, DV)), i.e. the standard-form Hamiltonian
+    # is G = -min(0, H); the monotone LF update
+    # V += dt*(-G(p_central) + sum_i alpha_i (D+_i - D-_i)/2) therefore
+    # ADDS the (D+ - D-) term — it acts like a diffusion (damps odd-even
+    # modes; at a local max D+ - D- < 0 pulls V down).  The truncation
+    # min(0, .) wraps ONLY the analytic Hamiltonian: truncating after
+    # adding dissipation converts grid noise into a systematic one-sided
+    # decrease (maxima freeze, minima sink) and amplifies a sawtooth —
+    # validated against the analytic isotropic pursuit game in
+    # tests/test_hji_validation.py.
+    alpha_l = jnp.max(jnp.abs(f).reshape(-1, ndim), axis=0)   # (N,)
+
+    def diss_ax(ax):
+        Dp, Dm = _axis_diffs(V, hs_j[ax], ax)
+        a = jnp.abs(f[..., ax]) if lf == "local" else alpha_l[ax]
+        return a * (Dp - Dm) * 0.5
+    diss = sum(diss_ax(ax) for ax in range(ndim))
+    dt = (cfl / jnp.maximum(jnp.sum(alpha_l / hs_j), 1e-6)
+          if dt_in is None else dt_in)
+    if dt_cap is not None:
+        dt = jnp.minimum(dt, jnp.asarray(dt_cap, l.dtype))
+    V_new = jnp.minimum(l, V + dt * (jnp.minimum(0.0, H) + diss))
+    V_new = jnp.maximum(V_new, lo)
+    if horizon is not None:
+        # freeze past the pseudo-time horizon (static shapes; extra
+        # sweeps become no-ops)
+        V_new = jnp.where(t < horizon, V_new, V)
+    delta = jnp.max(jnp.abs(V_new - V))
+    return V_new, alpha_l, delta, dt
+
+
+def _pad_axis0(V):
+    """Edge-replicated 1-cell halo along axis 0."""
+    return jnp.concatenate([V[:1], V, V[-1:]], axis=0)
+
+
 def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
                  floor=None, sweep_chunk: int = 0, lf: str = "local",
-                 horizon=None):
+                 horizon=None, slab_chunk: int = 0, dt_fixed=None):
     """Generic N-D avoid-set HJI-VI level-set solver (dimension-agnostic
     core; the 7-D vehicle problem and the validation games share it).
 
@@ -90,10 +156,12 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
 
     l        : (k1, ..., kN) target function on the grid.
     hs       : length-N grid spacings.
-    flow_fn  : (X?, gradV) -> f, the optimal-play dynamics; it receives
-               ONLY the value gradient stack (..., N) and must return the
-               flow field (..., N) under u* (maximizing p.f) and d*
-               (minimizing).  Any state dependence is closed over.
+    flow_fn  : (start0, gradV) -> f, the optimal-play dynamics; receives
+               the global axis-0 offset of the slab being processed (0
+               for whole-grid sweeps) and the value-gradient stack
+               (..., N); returns the flow field (..., N) under u*
+               (maximizing p.f) and d* (minimizing).  Any state
+               dependence is reconstructed from (start0, slab shape).
     floor    : mathematical lower bound of V (defaults to min(l)).
     sweep_chunk: 0 runs all sweeps in ONE device program; k > 0 runs
                ceil(n_sweeps/k) chunked launches carrying V on device —
@@ -113,6 +181,18 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
                artifact is the finite-horizon value "collision forceable
                within T"; updates freeze once cumulative pseudo-time
                reaches T.
+    slab_chunk: 0 sweeps the whole grid at once; k > 0 processes axis 0
+               in k-row slabs via `lax.map` inside each sweep (requires
+               shape[0] % k == 0), bounding the peak HBM footprint to
+               O(slab) flow intermediates instead of O(grid) — the
+               single-chip path to grids whose whole-grid sweep blows HBM
+               (round-4 limit: 54M-point compile planned 39.8G).  The CFL
+               step then uses the PREVIOUS sweep's grid-max |f| (one
+               initial alpha-only pass seeds it) scaled by 0.9 — |f|
+               under optimal play changes slowly sweep-to-sweep and CFL
+               0.5 leaves 2x headroom, so the lagged step preserves
+               monotone stability; converged values match the unchunked
+               sweep (tests/test_hji_solve.py pins it).
 
     Returns (V, deltas, times): the converged value grid, per-sweep
     sup-norm updates, and the cumulative pseudo-time after each sweep
@@ -122,45 +202,98 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
     hs_j = jnp.asarray(hs, l.dtype)
     lo = jnp.min(l) if floor is None else jnp.asarray(floor, l.dtype)
 
+    if slab_chunk > 0:
+        if l.shape[0] % slab_chunk != 0:
+            raise ValueError(
+                f"shape[0]={l.shape[0]} not divisible by "
+                f"slab_chunk={slab_chunk}")
+        n_slabs = l.shape[0] // slab_chunk
+
+        def slab_pass(V, t, dt):
+            """One sweep = lax.map over axis-0 slabs (dt fixed)."""
+            Vp = _pad_axis0(V)
+
+            def do_slab(i):
+                a = i * slab_chunk
+                Vs_pad = jax.lax.dynamic_slice_in_dim(Vp, a,
+                                                      slab_chunk + 2, 0)
+                Vs = Vs_pad[1:-1]
+                ls = jax.lax.dynamic_slice_in_dim(l, a, slab_chunk, 0)
+
+                # axis-0 diffs from the halo'd slab; other axes local
+                def diffs0(Vx):
+                    Dp = (Vs_pad[2:] - Vx) / hs_j[0]
+                    Dm = (Vx - Vs_pad[:-2]) / hs_j[0]
+                    return Dp, Dm
+
+                gradV = jnp.stack(
+                    [sum(diffs0(Vs)) * 0.5] +
+                    [sum(_axis_diffs(Vs, hs_j[ax], ax)) * 0.5
+                     for ax in range(1, ndim)], axis=-1)
+                f = flow_fn(a, gradV)
+                H = jnp.sum(gradV * f, axis=-1)
+                alpha_l = jnp.max(jnp.abs(f).reshape(-1, ndim), axis=0)
+
+                def diss_ax(ax):
+                    Dp, Dm = (diffs0(Vs) if ax == 0
+                              else _axis_diffs(Vs, hs_j[ax], ax))
+                    a_ = (jnp.abs(f[..., ax]) if lf == "local"
+                          else alpha_l[ax])
+                    return a_ * (Dp - Dm) * 0.5
+                diss = sum(diss_ax(ax) for ax in range(ndim))
+                V_new = jnp.minimum(ls, Vs + dt * (jnp.minimum(0.0, H)
+                                                   + diss))
+                V_new = jnp.maximum(V_new, lo)
+                if horizon is not None:
+                    V_new = jnp.where(t < horizon, V_new, Vs)
+                return V_new, alpha_l
+
+            Vn, alphas = jax.lax.map(do_slab, jnp.arange(n_slabs))
+            V_new = Vn.reshape(V.shape)
+            alpha = jnp.max(alphas, axis=0)
+            delta = jnp.max(jnp.abs(V_new - V))
+            return V_new, alpha, delta
+
+        @jax.jit
+        def alpha_pass(V):
+            _, alpha, _ = slab_pass(V, jnp.asarray(0.0, l.dtype),
+                                    jnp.asarray(0.0, l.dtype))
+            return alpha
+
+        def sweep(carry, _):
+            V, t, alpha_prev = carry
+            dt = 0.9 * cfl / jnp.maximum(jnp.sum(alpha_prev / hs_j), 1e-6)
+            if dt_fixed is not None:
+                dt = jnp.minimum(dt, jnp.asarray(dt_fixed, l.dtype))
+            V_new, alpha, delta = slab_pass(V, t, dt)
+            return (V_new, t + dt, alpha), (delta, t + dt)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_chunk(V0, t0, alpha0, k):
+            (V, t, alpha), (deltas, times) = jax.lax.scan(
+                sweep, (V0, t0, alpha0), None, length=k)
+            return V, t, alpha, deltas, times
+
+        V = l
+        t = jnp.asarray(0.0, l.dtype)
+        alpha = alpha_pass(V)
+        d_all, t_all = [], []
+        left = n_sweeps
+        step = sweep_chunk if sweep_chunk > 0 else n_sweeps
+        while left > 0:
+            k = min(step, left)
+            V, t, alpha, deltas, times = run_chunk(V, t, alpha, k)
+            jax.block_until_ready(V)
+            d_all.append(deltas)
+            t_all.append(times)
+            left -= k
+        return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
+
     def sweep(carry, _):
         V, t = carry
-        # two passes over axes: gradV first, dissipation after f is known
-        # — keeping only one (Dp, Dm) pair live at a time caps the peak
-        # footprint at ~4 grid-sized arrays instead of 2*ndim (the
-        # production 7-D grid is ~50M points; 14 live copies would not
-        # fit HBM).  The shifts are recomputed in pass 2 (cheap VPU work).
-        gradV = jnp.stack(
-            [sum(_axis_diffs(V, hs_j[ax], ax)) * 0.5
-             for ax in range(ndim)], axis=-1)
-        f = flow_fn(gradV)                                # (..., N)
-        H = jnp.sum(gradV * f, axis=-1)
-        # Lax-Friedrichs dissipation (pointwise-local by default; global
-        # per-axis with lf="global").  In this module's
-        # sign convention the PDE is V_t = min(0, H(x, DV)), i.e. the
-        # standard-form Hamiltonian is G = -min(0, H); the monotone LF
-        # update V += dt*(-G(p_central) + sum_i alpha_i (D+_i - D-_i)/2)
-        # therefore ADDS the (D+ - D-) term — it acts like a diffusion
-        # (damps odd-even modes; at a local max D+ - D- < 0 pulls V down).
-        # The truncation min(0, .) wraps ONLY the analytic Hamiltonian:
-        # truncating after adding dissipation converts grid noise into a
-        # systematic one-sided decrease (maxima freeze, minima sink) and
-        # amplifies a sawtooth — validated against the analytic isotropic
-        # pursuit game in tests/test_hji_validation.py.
-        alpha_g = jnp.max(jnp.abs(f).reshape(-1, ndim), axis=0)   # (N,)
-
-        def diss_ax(ax):
-            Dp, Dm = _axis_diffs(V, hs_j[ax], ax)
-            a = jnp.abs(f[..., ax]) if lf == "local" else alpha_g[ax]
-            return a * (Dp - Dm) * 0.5
-        diss = sum(diss_ax(ax) for ax in range(ndim))
-        dt = cfl / jnp.maximum(jnp.sum(alpha_g / hs_j), 1e-6)
-        V_new = jnp.minimum(l, V + dt * (jnp.minimum(0.0, H) + diss))
-        V_new = jnp.maximum(V_new, lo)
-        if horizon is not None:
-            # freeze past the pseudo-time horizon (static shapes; extra
-            # sweeps become no-ops)
-            V_new = jnp.where(t < horizon, V_new, V)
-        delta = jnp.max(jnp.abs(V_new - V))
+        V_new, _, delta, dt = _sweep_body(V, l, hs_j, flow_fn, cfl, lo,
+                                          lf, horizon, t,
+                                          dt_cap=dt_fixed)
         return (V_new, t + dt), (delta, t + dt)
 
     if sweep_chunk <= 0 or sweep_chunk >= n_sweeps:
@@ -193,6 +326,124 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
     return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
 
 
+def solve_hji_vi_sharded(l, hs, flow_fn, n_sweeps: int, mesh,
+                         axis_name: str = "dp", cfl: float = 0.5,
+                         floor=None, sweep_chunk: int = 0,
+                         lf: str = "local", horizon=None, dt_fixed=None):
+    """Mesh-sharded HJI-VI solver: the grid's axis 0 is split across the
+    devices of `mesh` (shard_map); each sweep exchanges one halo row with
+    each neighbor via `ppermute` (2 neighbor exchanges per sweep — the
+    only communication besides the tiny pmax reductions for the CFL step
+    and the convergence trace).  Exact same math as `solve_hji_vi`
+    whole-grid sweeps: same-sweep global alpha via pmax, identical
+    update — `tests/test_hji_solve.py` pins sharded == unsharded on the
+    forced 8-device CPU mesh.
+
+    This is the "shard the grid's leading axis over a mesh" path for
+    value grids beyond single-chip HBM (reference analog: the multi-hour
+    offline precompute behind `deps/build.jl:1-4`).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.shape[axis_name]
+    if l.shape[0] % ndev != 0:
+        raise ValueError(f"shape[0]={l.shape[0]} not divisible by "
+                         f"mesh axis {axis_name}={ndev}")
+    shard_len = l.shape[0] // ndev
+    ndim = l.ndim
+    hs_j = jnp.asarray(hs, l.dtype)
+    lo = jnp.min(l) if floor is None else jnp.asarray(floor, l.dtype)
+
+    spec_g = P(axis_name, *([None] * (ndim - 1)))
+
+    def sweep_local(V, ls, t):
+        """Body runs per-shard inside shard_map; V/ls are local slabs."""
+        idx = jax.lax.axis_index(axis_name)
+        start0 = idx * shard_len
+        # halo exchange: receive the neighbor rows adjacent to this slab
+        up = jax.lax.ppermute(V[-1:], axis_name,
+                              [(i, (i + 1) % ndev) for i in range(ndev)])
+        dn = jax.lax.ppermute(V[:1], axis_name,
+                              [(i, (i - 1) % ndev) for i in range(ndev)])
+        # global edges replicate own edge rows (non-periodic grid)
+        v_lo = jnp.where(idx == 0, V[:1], up)
+        v_hi = jnp.where(idx == ndev - 1, V[-1:], dn)
+        Vs_pad = jnp.concatenate([v_lo, V, v_hi], axis=0)
+
+        def diffs0(Vx):
+            Dp = (Vs_pad[2:] - Vx) / hs_j[0]
+            Dm = (Vx - Vs_pad[:-2]) / hs_j[0]
+            return Dp, Dm
+
+        gradV = jnp.stack(
+            [sum(diffs0(V)) * 0.5] +
+            [sum(_axis_diffs(V, hs_j[ax], ax)) * 0.5
+             for ax in range(1, ndim)], axis=-1)
+        f = flow_fn(start0, gradV)
+        H = jnp.sum(gradV * f, axis=-1)
+        alpha_loc = jnp.max(jnp.abs(f).reshape(-1, ndim), axis=0)
+        alpha_g = jax.lax.pmax(alpha_loc, axis_name)       # same-sweep CFL
+
+        def diss_ax(ax):
+            Dp, Dm = (diffs0(V) if ax == 0
+                      else _axis_diffs(V, hs_j[ax], ax))
+            a_ = jnp.abs(f[..., ax]) if lf == "local" else alpha_g[ax]
+            return a_ * (Dp - Dm) * 0.5
+        diss = sum(diss_ax(ax) for ax in range(ndim))
+        dt = cfl / jnp.maximum(jnp.sum(alpha_g / hs_j), 1e-6)
+        if dt_fixed is not None:
+            dt = jnp.minimum(dt, jnp.asarray(dt_fixed, l.dtype))
+        V_new = jnp.minimum(ls, V + dt * (jnp.minimum(0.0, H) + diss))
+        V_new = jnp.maximum(V_new, lo)
+        if horizon is not None:
+            V_new = jnp.where(t < horizon, V_new, V)
+        delta = jax.lax.pmax(jnp.max(jnp.abs(V_new - V)), axis_name)
+        return V_new, delta, dt
+
+    def make_run(k):
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(spec_g, spec_g, P()),
+                           out_specs=(spec_g, P(), P()),
+                           check_rep=False)
+        def run_sweeps_local(V0, ls, t0):
+            def sweep(carry, _):
+                V, t = carry
+                V_new, delta, dt = sweep_local(V, ls, t)
+                return (V_new, t + dt), (delta, t + dt)
+
+            (V, _), (deltas, times) = jax.lax.scan(
+                sweep, (V0, t0[0]), None, length=k)
+            return V, deltas, times
+
+        return jax.jit(run_sweeps_local)
+
+    # sharded inputs
+    sharding = NamedSharding(mesh, spec_g)
+    l_sh = jax.device_put(l, sharding)
+    runs = {}
+
+    def run_chunk(V0, t0, k):
+        if k not in runs:
+            runs[k] = make_run(k)
+        return runs[k](V0, l_sh, jnp.broadcast_to(t0, (1,)))
+
+    V = l_sh
+    t = jnp.asarray(0.0, l.dtype)
+    d_all, t_all = [], []
+    left = n_sweeps
+    step = sweep_chunk if sweep_chunk > 0 else n_sweeps
+    while left > 0:
+        k = min(step, left)
+        V, deltas, times = run_chunk(V, t, k)
+        jax.block_until_ready(V)
+        t = times[-1]
+        d_all.append(deltas)
+        t_all.append(times)
+        left -= k
+    return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
+
+
 def solve_hji(veh: VehicleParams,
               bounds: Sequence = DEFAULT_BOUNDS,
               shape: Sequence[int] = DEFAULT_SHAPE,
@@ -203,9 +454,18 @@ def solve_hji(veh: VehicleParams,
               sweep_chunk: int = 0,
               lf: str = "local",
               horizon_s: "float | None" = None,
+              slab_chunk: int = 0,
+              mesh=None,
+              mesh_axis: str = "dp",
+              dt_fixed=None,
               dtype=jnp.float32
               ) -> "tuple[hji_mod.HJICache, np.ndarray, np.ndarray]":
     """Solve the avoid HJI-VI on a 7-D grid.
+
+    slab_chunk > 0 bounds single-chip HBM (axis-0 slabs inside each
+    sweep); mesh != None shards axis 0 across the mesh's `mesh_axis`
+    devices instead (ppermute halo exchange; mutually exclusive with
+    slab_chunk).
 
     Returns (cache, deltas, times): the `HJICache` plus the per-sweep
     sup-norm update magnitudes and cumulative pseudo-times (convergence
@@ -214,28 +474,40 @@ def solve_hji(veh: VehicleParams,
     hs = [float(k[1] - k[0]) for k in knots]
     knots_j = [jnp.asarray(k, dtype) for k in knots]
 
-    def make_X():
+    def make_X(start0, k0):
         # build the coordinate stack INSIDE the traced computation from
         # the tiny 1-D knot vectors: embedding a multi-GB meshgrid as an
-        # HLO constant would blow compile-time memory at production grids
-        grids = jnp.meshgrid(*knots_j, indexing="ij")
+        # HLO constant would blow compile-time memory at production
+        # grids.  (start0, k0) select the axis-0 slab being processed
+        # (whole axis for unchunked sweeps).
+        k0_knots = jax.lax.dynamic_slice_in_dim(knots_j[0],
+                                                start0, k0, 0)
+        grids = jnp.meshgrid(k0_knots, *knots_j[1:], indexing="ij")
         return jnp.stack(grids, axis=-1)                   # (..., 7)
 
-    l = jax.jit(lambda: collision_distance(make_X(), margin)
+    l = jax.jit(lambda: collision_distance(make_X(0, shape[0]), margin)
                 .astype(dtype))()
 
-    def flow(gradV):
-        X = make_X()
+    def flow(start0, gradV):
+        X = make_X(start0, gradV.shape[0])
         uR = hji_mod.optimal_control(veh, X, gradV, "max",
                                      n_samples=fx_samples)
         uH = hji_mod.optimal_disturbance(veh, X, gradV, "min")
         return hji_mod.relative_dynamics(veh, X, uR, uH)     # (..., 7)
 
     # mathematical floor: V = min-over-time of l >= min(l) = -margin
-    V, deltas, times = solve_hji_vi(l, hs, flow, n_sweeps, cfl,
-                                    floor=-margin,
-                                    sweep_chunk=sweep_chunk, lf=lf,
-                                    horizon=horizon_s)
+    if mesh is not None:
+        V, deltas, times = solve_hji_vi_sharded(
+            l, hs, flow, n_sweeps, mesh, axis_name=mesh_axis, cfl=cfl,
+            floor=-margin, sweep_chunk=sweep_chunk, lf=lf,
+            horizon=horizon_s, dt_fixed=dt_fixed)
+    else:
+        V, deltas, times = solve_hji_vi(l, hs, flow, n_sweeps, cfl,
+                                        floor=-margin,
+                                        sweep_chunk=sweep_chunk, lf=lf,
+                                        horizon=horizon_s,
+                                        slab_chunk=slab_chunk,
+                                        dt_fixed=dt_fixed)
 
     # gradient field for the cache (central differences of the solution)
     hs_j = jnp.asarray(hs, dtype)

@@ -95,3 +95,82 @@ def test_hji_cache_save_load_roundtrip(solved, tmp_path):
     V2, g2 = H.interpolate(loaded, x)
     np.testing.assert_allclose(float(V1), float(V2))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+
+def test_hji_sharded_matches_unsharded(x1):
+    """The mesh-sharded solver (axis-0 shards + ppermute halo exchange)
+    must reproduce the whole-grid sweep: same-sweep global CFL via pmax,
+    identical update order (VERDICT r4 item 2's CI pin).
+
+    The CFL/convergence traces are pinned tightly — they catch any halo
+    or collective wiring error (a wrong neighbor row shifts dt and the
+    deltas within one sweep).  The VALUES are pinned at physical
+    tolerance, not bitwise: `optimal_control`'s Fx line-search argmax is
+    discontinuous in its inputs, so 1-ulp fusion-order differences
+    between the two compiled programs flip near-ties and locally switch
+    the flow field (measured: max |dV| ~ 7e-3 after 8 sweeps with
+    identical dt traces) — a property of the bang-bang flow, not of the
+    sharding."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("dp",))
+    shape = (16, 7, 5, 5, 3, 5, 3)
+    kw = dict(shape=shape, n_sweeps=60, fx_samples=5, horizon_s=3.0)
+    cache_u, d_u, t_u = HS.solve_hji(x1, **kw)
+    cache_s, d_s, t_s = HS.solve_hji(x1, mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_u),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_u),
+                               rtol=1e-4, atol=1e-4)
+    err = np.abs(np.asarray(cache_s.V) - np.asarray(cache_u.V))
+    assert err.max() < 0.12, err.max()      # ~2% of the dE spacing here
+    assert err.mean() < 1e-3, err.mean()
+
+
+def test_hji_sharded_exact_on_smooth_flow():
+    """On a flow with NO argmax discontinuity (the isotropic pursuit
+    game), sharded and unsharded sweeps agree to fp32 roundoff — the
+    exactness statement the 7-D test cannot make (see its docstring)."""
+    import jax
+    from jax.sharding import Mesh
+
+    n = 80
+    knots = [np.linspace(-8.0, 8.0, n), np.linspace(-8.0, 8.0, n + 1)]
+    hs = [float(k[1] - k[0]) for k in knots]
+    X = np.stack(np.meshgrid(*knots, indexing="ij"), axis=-1)
+    l = jnp.asarray(np.hypot(X[..., 0], X[..., 1]) - 1.0, jnp.float32)
+
+    def flow(start0, gradV):
+        nrm = jnp.maximum(jnp.linalg.norm(gradV, axis=-1, keepdims=True),
+                          1e-12)
+        return -1.0 * gradV / nrm
+
+    V_u, d_u, t_u = HS.solve_hji_vi(l, hs, flow, n_sweeps=80)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    V_s, d_s, t_s = HS.solve_hji_vi_sharded(l, hs, flow, 80, mesh)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_u),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(V_s), np.asarray(V_u),
+                               rtol=0, atol=1e-5)
+
+
+def test_hji_slab_chunked_matches_unchunked(x1):
+    """The slab-chunked sweep (single-chip HBM bound) must compute the
+    SAME sweep math as the whole-grid sweep.  The chunked CFL step is
+    lagged one sweep (x0.9), which makes free-running pseudo-time paths
+    diverge O(dt x |dV/dt|) — a first-order-scheme property, not an
+    error — so the comparison pins both paths to a fixed dt well below
+    either CFL bound: identical time grids, values equal to the
+    argmax-flip noise floor (see the sharded test's docstring)."""
+    shape = (12, 7, 5, 5, 3, 5, 3)
+    kw = dict(shape=shape, fx_samples=5, horizon_s=1.5, dt_fixed=0.004,
+              n_sweeps=100)
+    cache_u, _, t_u = HS.solve_hji(x1, **kw)
+    cache_c, _, t_c = HS.solve_hji(x1, slab_chunk=4, **kw)
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_u),
+                               rtol=1e-6)
+    err = np.abs(np.asarray(cache_u.V) - np.asarray(cache_c.V))
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 1e-3, err.mean()

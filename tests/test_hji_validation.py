@@ -38,8 +38,9 @@ def _pursuit_setup(n, u_max, d_max, half=8.0):
     l = jnp.asarray(np.hypot(X[..., 0], X[..., 1]) - MARGIN, jnp.float32)
     speed = d_max - u_max
 
-    def flow(gradV):
+    def flow(start0, gradV):
         # closed-form optimal play: f = (u_max - d_max) * p / |p|
+        # (position-independent, so the axis-0 slab offset is unused)
         nrm = jnp.maximum(jnp.linalg.norm(gradV, axis=-1, keepdims=True),
                           1e-12)
         return -speed * gradV / nrm
