@@ -287,6 +287,9 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
             d_all.append(deltas)
             t_all.append(times)
             left -= k
+            if (horizon is not None and sweep_chunk > 0
+                    and float(t) >= horizon):
+                break          # frozen sweeps would only burn flow compute
         return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
 
     def sweep(carry, _):
@@ -323,6 +326,8 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
         d_all.append(deltas)
         t_all.append(times)
         left -= k
+        if horizon is not None and float(t) >= horizon:
+            break              # frozen sweeps would only burn flow compute
     return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
 
 
@@ -441,6 +446,9 @@ def solve_hji_vi_sharded(l, hs, flow_fn, n_sweeps: int, mesh,
         d_all.append(deltas)
         t_all.append(times)
         left -= k
+        if (horizon is not None and sweep_chunk > 0
+                and float(t) >= horizon):
+            break              # frozen sweeps would only burn flow compute
     return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
 
 

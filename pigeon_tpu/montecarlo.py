@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pigeon_tpu import discretize as dz
+from pigeon_tpu import dynamics as dyn
 from pigeon_tpu import hji as hji_mod
 from pigeon_tpu import mpc as mpc_mod
 from pigeon_tpu import trajectory as trj
@@ -68,6 +70,76 @@ def sample_scenarios(tube: trj.TrajectoryTube, B: int,
                        t0=jnp.asarray(t0, dtype))
 
 
+def certify_avoidable(veh, scen: ScenarioSet, n_steps: int = 500,
+                      dt: float = 0.01, threshold: float = 2.5,
+                      margin: float = 0.5):
+    """Per-scenario avoidability certificate (VERDICT r4 item 1c).
+
+    Rolls out a menu of OPEN-LOOP evasion policies — constant
+    (steering, Fx) pairs spanning bang-bang left/right at several
+    braking levels, each clamped through the actuation limits — under
+    the full nonlinear bicycle dynamics against the same
+    constant-velocity human the Monte-Carlo uses, and certifies a
+    scenario "avoidable" if ANY policy keeps car-to-car separation
+    above threshold + margin for the whole episode.
+
+    This makes the safety A/B's headline measurable: on the certified
+    subset a perfect filter could drive collision_frac to ~0, so the
+    off-vs-on reduction there quantifies the filter itself rather than
+    the unavoidable-start mass (near-head-on sampling makes that mass
+    large: uncertified scenarios are ones where even full-lock evasion
+    from t=0 collides).
+
+    Returns (avoidable_mask (B,) bool, best_policy_sep (B,) meters).
+    """
+    d = veh.delta_max
+    menu = jnp.asarray([
+        [d, 0.0], [-d, 0.0],
+        [d, veh.Fx_min], [-d, veh.Fx_min],
+        [0.5 * d, veh.Fx_min], [-0.5 * d, veh.Fx_min],
+        [0.0, veh.Fx_min],
+        [d, 0.5 * veh.Fx_min], [-d, 0.5 * veh.Fx_min],
+    ], scen.q0.dtype)                                   # (K, 2)
+    K = menu.shape[0]
+
+    def plant(q, u2):
+        # clamp through the actuation envelope each step (the commanded
+        # policy may exceed the power curve at speed)
+        u2c = dyn.apply_control_limits(veh, u2, q[3])
+        Fxf, Fxr = dyn.longitudinal_split(veh, u2c[1])
+        ur = jnp.concatenate([jnp.stack([u2c[0], Fxf + Fxr]),
+                              jnp.zeros(4, q.dtype)])
+
+        def f(q_, ur_):
+            return dyn.vehicle_ode(veh, "bicycle", q_, ur_[:2], ur_[2:])
+        return dz.propagate(f, q, ur, dt)
+
+    def one_policy_min_sep(q0, oc0, u2):
+        def body(carry, _):
+            q, oc = carry
+            E, N, psi, V = oc[0], oc[1], oc[2], oc[3]
+            oc_n = jnp.stack([E - V * jnp.sin(psi) * dt,
+                              N + V * jnp.cos(psi) * dt, psi, V])
+            q_n = plant(q, u2)
+            sep = jnp.hypot(q_n[0] - oc_n[0], q_n[1] - oc_n[1])
+            return (q_n, oc_n), sep
+
+        _, seps = jax.lax.scan(body, (q0, oc0), None, length=n_steps)
+        sep0 = jnp.hypot(q0[0] - oc0[0], q0[1] - oc0[1])
+        return jnp.minimum(jnp.min(seps), sep0)
+
+    @jax.jit
+    def run(q0s, oc0s):
+        per_policy = jax.vmap(
+            lambda q0, oc0: jax.vmap(
+                lambda u2: one_policy_min_sep(q0, oc0, u2))(menu)
+        )(q0s, oc0s)                                     # (B, K)
+        best = jnp.max(per_policy, axis=-1)
+        return best >= threshold + margin, best
+
+    return run(scen.q0, scen.other0)
+
+
 class MonteCarloSummary(NamedTuple):
     n_scenarios: int
     n_steps: int
@@ -80,13 +152,27 @@ class MonteCarloSummary(NamedTuple):
     controls_finite: bool
 
 
+class PerScenario(NamedTuple):
+    """Per-scenario rollout outcomes (for certified-subset analysis)."""
+
+    min_separation_m: jnp.ndarray   # (B,)
+    collided: jnp.ndarray           # (B,) bool
+    converged_frac: jnp.ndarray     # (B,) step-fraction converged
+    hji_active_frac: jnp.ndarray    # (B,)
+    V_min: jnp.ndarray              # (B,) minimum finite V seen (inf if none)
+
+
 def run_dynamic_obstacle(cfg: mpc_mod.MPCConfig, tube: trj.TrajectoryTube,
                          cache: hji_mod.HJICache, scen: ScenarioSet,
                          n_steps: int = 200, dt: float = 0.01,
                          collision_threshold: float = 2.5,
-                         mesh=None) -> MonteCarloSummary:
+                         mesh=None, per_scenario: bool = False):
     """Roll out every scenario in closed loop with a constant-velocity
-    human; reduce the safety/tracking statistics on device."""
+    human; reduce the safety/tracking statistics on device.
+
+    per_scenario=True additionally returns a `PerScenario` record
+    (summary, per) so callers can slice outcomes by an external mask
+    (e.g. the `certify_avoidable` certificate)."""
     ctrl = BatchedController(cfg, tube, cache=cache, mesh=mesh, dt=dt)
     state = ctrl.init_state(scen.q0)
     # Per-scenario start times: the coupled QP carries the
@@ -100,6 +186,25 @@ def run_dynamic_obstacle(cfg: mpc_mod.MPCConfig, tube: trj.TrajectoryTube,
                     q_log[..., 1] - oc_log[..., 1])     # (n_steps, B)
     min_sep_per = jnp.min(sep, axis=0)
     e_abs = jnp.abs(diag.e)
+    if per_scenario:
+        Vh = diag.V_hji                                  # (n_steps, B)
+        V_min = jnp.min(jnp.where(jnp.isfinite(Vh), Vh, jnp.inf), axis=0)
+        per = PerScenario(
+            min_separation_m=min_sep_per,
+            collided=min_sep_per < collision_threshold,
+            converged_frac=jnp.mean(
+                diag.converged.astype(jnp.float32), axis=0),
+            hji_active_frac=jnp.mean(
+                diag.hji_active.astype(jnp.float32), axis=0),
+            V_min=V_min)
+        return _summary(scen, n_steps, min_sep_per, e_abs, diag, u_log,
+                        collision_threshold), per
+    return _summary(scen, n_steps, min_sep_per, e_abs, diag, u_log,
+                    collision_threshold)
+
+
+def _summary(scen, n_steps, min_sep_per, e_abs, diag, u_log,
+             collision_threshold):
     return MonteCarloSummary(
         n_scenarios=int(scen.q0.shape[0]),
         n_steps=n_steps,

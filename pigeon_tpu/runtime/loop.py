@@ -86,7 +86,9 @@ class ControllerRuntime:
                  use_hji_policy: bool = False,
                  pad_to: int = 1024,
                  cfg_path: Optional[mpc_mod.MPCConfig] = None,
-                 cfg_traj: Optional[mpc_mod.MPCConfig] = None):
+                 cfg_traj: Optional[mpc_mod.MPCConfig] = None,
+                 warmup: bool = True,
+                 step_budget_s: float = 0.010):
         if cfg is not None:
             cfg_path = cfg_path if cfg_path is not None else cfg
             cfg_traj = cfg_traj if cfg_traj is not None else cfg
@@ -129,6 +131,39 @@ class ControllerRuntime:
         self._project = tpu_jit(
             lambda tube, x: trj.path_coordinates(tube, x))
 
+        # per-step wall timing vs the hard real-time budget (reference
+        # @elapsed + >10 ms logwarn, src/ros_integration.jl:94,105-109)
+        self.step_budget_s = step_budget_s
+        self.budget_violations = 0
+        self._step_times = []                  # rolling window (s)
+        self._step_times_max = 1024
+
+        if warmup:
+            self.warmup()
+
+    def warmup(self):
+        """Construction-time dry runs of every jitted program (BOTH mode
+        controllers + the projection), so the first real control period
+        does not eat the compile (reference `__init__` warm-runs the full
+        pipeline for exactly this reason, src/Pigeon.jl:44-58).  Device
+        results are blocked on; carries are restored untouched."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        q0 = jnp.asarray([float(self.tube.E[0]), float(self.tube.N[0]),
+                          float(self.tube.psi[0]),
+                          max(float(self.tube.V[0]), 2.0), 0.0, 0.0],
+                         jnp.float32)
+        u0 = jnp.zeros(3, jnp.float32)
+        jax.block_until_ready(self._project(self.tube, q0[:2]))
+        for m, step in self._steps.items():
+            carry, u3, diag = step(self.tube, self.carries[m], q0, u0,
+                                   self.other_car,
+                                   jnp.asarray(0.0, jnp.float32))
+            jax.block_until_ready(u3)
+        log.info("warmup compiled %d programs in %.1f s",
+                 len(self._steps) + 1, _time.perf_counter() - t0)
+
     @property
     def carry(self):
         """Carry of the currently-selected controller."""
@@ -158,6 +193,31 @@ class ControllerRuntime:
         self.time_offset = float(stamp)
         self.carries["traj"] = self.carries["traj"]._replace(
             solved=jnp.asarray(False))
+
+    def set_trajectory_msg(self, buf: bytes):
+        """Wire-level `/des_traj` ingest: parse a serialized ROS1
+        VehicleTrajectory message and switch to :traj mode with the
+        header stamp as the time offset — the byte-for-byte twin of the
+        reference's `nominal_trajectory_callback(msg::VehicleTrajectory)`
+        (`src/ros_integration.jl:17-20,36-41`)."""
+        tube, stamp = trj.tube_from_trajmsg_bytes(buf, pad_to=self.pad_to)
+        self.set_trajectory(tube, stamp)
+
+    def latency_stats(self) -> dict:
+        """Measured end-to-end `on_state` MPC latency over the rolling
+        window (the reference only warns past the budget; this also
+        records the distribution)."""
+        if not self._step_times:
+            return {"n": 0}
+        ts = np.asarray(self._step_times)
+        return {
+            "n": int(ts.size),
+            "p50_ms": round(float(np.percentile(ts, 50)) * 1e3, 3),
+            "p99_ms": round(float(np.percentile(ts, 99)) * 1e3, 3),
+            "max_ms": round(float(ts.max()) * 1e3, 3),
+            "budget_ms": self.step_budget_s * 1e3,
+            "budget_violations": self.budget_violations,
+        }
 
     def set_other_car(self, x: float, y: float, th: float, v: float):
         """reference other_car_callback (src/ros_integration.jl:153-155):
@@ -195,13 +255,27 @@ class ControllerRuntime:
             log.warning("%d from_autobox messages lost", missed)
             self.heartbeat = msg.seq - 1
 
+        import time as _time
+
+        t_mpc = _time.perf_counter()
         mode = self.tracking_mode
         self.carries[mode], u3, diag = self._steps[mode](
             self.tube, self.carries[mode], q0, u0, self.other_car,
             jnp.asarray(t, jnp.float32))
+        u3 = np.asarray(u3)                    # device sync included
+        elapsed = _time.perf_counter() - t_mpc
+        self._step_times.append(elapsed)
+        if len(self._step_times) > self._step_times_max:
+            del self._step_times[:len(self._step_times)
+                                 - self._step_times_max]
+        if elapsed > self.step_budget_s:
+            # reference: logwarn past the 10 ms budget with the heartbeat
+            # (src/ros_integration.jl:105-109)
+            self.budget_violations += 1
+            log.warning("MPC step exceeded budget: %.1f ms > %.1f ms "
+                        "(heartbeat %d)", elapsed * 1e3,
+                        self.step_budget_s * 1e3, self.heartbeat)
         self.heartbeat += 1
-
-        u3 = np.asarray(u3)
         cmd = ToAutobox(
             stamp=msg.stamp, post_flag=1, heartbeat=self.heartbeat,
             s_m=float(diag.s), e_m=float(diag.e),

@@ -130,24 +130,44 @@ def make_tube(t, s, V, A, E, N, psi, kappa, theta=None, phi=None,
             if k not in ("t", "s"):
                 cols[k] = np.concatenate([cols[k], np.full(pad, cols[k][-1])])
     packed = np.stack([cols[k] for k in _PACKED_FIELDS], axis=-1)
+    # tab_len = the (padded) tube length: a shape-static LookupIndex lets
+    # every same-pad_to tube share one compiled control step (see
+    # _build_lookup_index docstring)
+    L_tab = cols["t"].shape[0]
     return TrajectoryTube(n_valid=jnp.asarray(n, jnp.int32),
-                          t_idx=_build_lookup_index(cols["t"], n),
-                          s_idx=_build_lookup_index(cols["s"], n),
+                          t_idx=_build_lookup_index(cols["t"], n,
+                                                    tab_len=L_tab),
+                          s_idx=_build_lookup_index(cols["s"], n,
+                                                    tab_len=L_tab),
                           packed=jnp.asarray(packed),
                           **{k: jnp.asarray(v) for k, v in cols.items()})
 
 
 def _build_lookup_index(knots: np.ndarray, n_valid: int,
-                        max_len: int = 8192) -> LookupIndex:
+                        max_len: int = 8192,
+                        tab_len: "int | None" = None) -> LookupIndex:
     """Host-side uniform acceleration index over the LIVE knot range.
 
-    Table length targets one live segment per cell (fixups == 1); when
-    `max_len` caps it, the worst-case fixup count is computed exactly."""
+    Without `tab_len`, the table length targets one live segment per cell
+    (when `max_len` caps it, the worst-case fixup count is computed
+    exactly).  With `tab_len` (make_tube passes the padded tube length),
+    the table shape is STATIC across tubes — the `fixups` floor of 2 then
+    makes the whole LookupIndex trace-stable, so swapping trajectories at
+    runtime does NOT retrace the jitted control step (measured: the
+    data-dependent table length forced a full ~3.5 s recompile of
+    `mpc_step` on every `/des_path`//`/des_traj` ingest — a real-time
+    hazard the reference's Parametron rewrite never had).  Tubes whose
+    knot spacing genuinely needs more than 2 fixups at the capped table
+    length keep their exact count (rare; costs one retrace)."""
     live = np.asarray(knots[:n_valid], np.float64)
     lo, hi = float(live[0]), float(live[-1])
     span = max(hi - lo, 1e-9)
-    min_gap = float(np.min(np.diff(live))) if n_valid > 1 else span
-    L_tab = int(min(max_len, max(2, np.ceil(span / max(min_gap, 1e-9)))))
+    if tab_len is not None:
+        L_tab = int(max(2, min(tab_len, max_len)))
+    else:
+        min_gap = float(np.min(np.diff(live))) if n_valid > 1 else span
+        L_tab = int(min(max_len,
+                        max(2, np.ceil(span / max(min_gap, 1e-9)))))
     h = span / L_tab
     grid = lo + h * np.arange(L_tab)
     table = np.clip(np.searchsorted(live, grid, side="right") - 1,
@@ -158,7 +178,7 @@ def _build_lookup_index(knots: np.ndarray, n_valid: int,
     fixups = int(np.max(ends - table)) if n_valid > 1 else 0
     return LookupIndex(table=jnp.asarray(table),
                        lo=jnp.asarray(lo), h=jnp.asarray(h),
-                       fixups=max(1, fixups))
+                       fixups=max(2, fixups))
 
 
 def straight_trajectory(length: float, vel: float, pad_to: int | None = None
@@ -431,3 +451,66 @@ def tube_from_pathmsg(path: str, pad_to: int | None = None
     return make_tube(t=t, s=s, V=Ux, A=Ax, E=E, N=N, psi=psi, kappa=kappa,
                      theta=grade, phi=None, edge_L=edge_L, edge_R=edge_R,
                      pad_to=pad_to)
+
+
+def tube_from_trajmsg_bytes(buf: bytes, pad_to: "int | None" = None
+                            ) -> "tuple[TrajectoryTube, float]":
+    """Parse a serialized ROS1 `safe_traffic_weaving/VehicleTrajectory`
+    message (the `/des_traj` topic) into a TrajectoryTube — the wire-level
+    twin of the reference's timed-trajectory ingest
+    (`src/ros_integration.jl:17-20,36-41`), dependency-free like
+    `tube_from_pathmsg`.
+
+    Wire format (rospy little-endian serialization): std_msgs/Header
+    (uint32 seq, uint32 stamp.secs, uint32 stamp.nsecs, length-prefixed
+    frame_id) followed by 12 length-prefixed float64 arrays in
+    declaration order — t, s, V, A, E, N, heading, curvature, grade,
+    bank, edge_L, edge_R (`src/ros_integration.jl:17-20`).
+
+    Returns (tube, stamp_seconds): the reference sets the controller's
+    time offset from `msg.header.stamp` (`:40`).
+    """
+    import struct
+
+    (seq, secs, nsecs) = struct.unpack_from("<III", buf, 0)
+    off = 12
+    (flen,) = struct.unpack_from("<I", buf, off)
+    off += 4 + flen                            # frame_id
+    arrays = []
+    while off + 4 <= len(buf) and len(arrays) < 12:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        if n * 8 > len(buf) - off:
+            raise ValueError("corrupt VehicleTrajectory msg: array of "
+                             f"{n} doubles past end of buffer")
+        arrays.append(np.frombuffer(buf, "<f8", count=n, offset=off))
+        off += 8 * n
+    if len(arrays) != 12:
+        raise ValueError("VehicleTrajectory msg: expected 12 arrays, "
+                         f"got {len(arrays)}")
+    t, s, V, A, E, N, psi, kappa, grade, bank, edge_L, edge_R = arrays
+    tube = make_tube(t=t, s=s, V=V, A=A, E=E, N=N, psi=psi, kappa=kappa,
+                     theta=grade, phi=bank, edge_L=edge_L, edge_R=edge_R,
+                     pad_to=pad_to)
+    return tube, secs + nsecs * 1e-9
+
+
+def serialize_trajmsg(t, s, V, A, E, N, psi, kappa, grade, bank, edge_L,
+                      edge_R, stamp: float = 0.0, seq: int = 0,
+                      frame_id: str = "") -> bytes:
+    """Serialize a VehicleTrajectory to the ROS1 wire format (the inverse
+    of `tube_from_trajmsg_bytes`; used by tests and by in-process planner
+    stand-ins — no test asset of this type ships with the reference)."""
+    import struct
+
+    secs = int(stamp)
+    nsecs = int(round((stamp - secs) * 1e9))
+    fid = frame_id.encode()
+    out = [struct.pack("<III", seq, secs, nsecs),
+           struct.pack("<I", len(fid)), fid]
+    for arr in (t, s, V, A, E, N, psi, kappa, grade, bank, edge_L,
+                edge_R):
+        a = np.asarray(arr, "<f8")
+        out.append(struct.pack("<I", a.size))
+        out.append(a.tobytes())
+    return b"".join(out)

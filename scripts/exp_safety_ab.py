@@ -1,18 +1,28 @@
 """Safety A/B: Monte-Carlo `dynamic_obstacle` with the SOLVED HJI cache,
-filter ON vs OFF (VERDICT r2 item 4; the IJRR paper's experimental point,
-reference README.md:48-57 + src/HJI_computation.jl:160-170).
+filter ON vs OFF (the IJRR paper's experimental point, reference
+README.md:48-57 + src/HJI_computation.jl:160-170).
 
-Three arms over the same scenario set:
+Round 5 (VERDICT r4 item 1): the A/B is now scored on the
+CERTIFIED-AVOIDABLE subset — scenarios where `certify_avoidable` proves
+an open-loop bang-bang evasion exists (so a perfect filter could drive
+collisions to ~0 there; measured certificate coverage is 94-99%), the
+value grid covers the scenario families end-to-end (in_grid_frac ~1.0
+by construction, recorded), the solver budget is 450 iterations
+(active-state QPs need 300-350 cold; the HJI row is normalized+clamped
+in mpc.py so they converge at all), and the default cache is the
+37.8M-point production solve.
+
+Arms over the same scenario set:
   off     — HJI rows disabled, no override (vanilla coupled MPC)
   feather — HJI half-plane rows in the QP (least-restrictive filtering)
   hammer  — feather + the bang-bang optimal-control override when
             V(x_rel) <= eps (reference `use_HJI_policy`)
 
-Writes SAFETY_AB.json; the headline is collision_frac(on) <
-collision_frac(off) with min-separation and activation stats alongside.
+Writes SAFETY_AB.json; the headline is the certified-subset collision
+reduction ratio off/on per arm.
 
-Usage: python scripts/exp_safety_ab.py [--scenarios 512] [--steps 300]
-       [--cache assets/hji_cache_proto.npz]
+Usage: python scripts/exp_safety_ab.py [--scenarios 512] [--steps 500]
+       [--cache /tmp/hji_cache_production.npz]
 """
 
 import argparse
@@ -39,7 +49,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenarios", type=int, default=512)
     ap.add_argument("--steps", type=int, default=500)
-    ap.add_argument("--cache", default="/root/repo/assets/hji_cache_proto.npz")
+    ap.add_argument("--cache", default="/tmp/hji_cache_production.npz")
     ap.add_argument("--collision-threshold", type=float, default=2.5)
     args = ap.parse_args()
 
@@ -53,7 +63,7 @@ def main():
     regimes = {"avoidable": (12.0, 40.0), "pressed": (8.0, 30.0)}
 
     solver = SolverOptions(
-        max_iter=150, check_every=150, eps_abs=1e-3, eps_rel=1e-3,
+        max_iter=450, check_every=50, eps_abs=1e-3, eps_rel=1e-3,
         backend=("lanes" if platform == "tpu" else "xla"),
         scaling_iters=2, pallas_check_inner=10)
 
@@ -73,11 +83,19 @@ def main():
            "scenarios": args.scenarios, "steps": args.steps,
            "collision_threshold_m": args.collision_threshold,
            "cache": args.cache}
+    from pigeon_tpu.config import x1_params
+    veh = x1_params()
     for rname, (g0, g1) in regimes.items():
         scen = mc.sample_scenarios(tube, args.scenarios, seed=7,
                                    oncoming_gap=(g0, g1),
                                    oncoming_lateral=(-1.0, 1.0))
         reg = {"oncoming_gap_m": [g0, g1]}
+        cert, best_sep = mc.certify_avoidable(veh, scen,
+                                              n_steps=args.steps)
+        cert = np.asarray(cert)
+        reg["certified_avoidable_frac"] = round(float(cert.mean()), 4)
+        reg["certificate_best_sep_p50"] = round(
+            float(np.percentile(np.asarray(best_sep), 50)), 2)
         # start-state value distribution (justifies the eps ladder)
         x0 = jax.vmap(lambda q, o: hji_mod.relative_state(q, o))(
             scen.q0, scen.other0)
@@ -97,11 +115,19 @@ def main():
                 hji_eps=a["eps"],
                 coupled=dataclasses.replace(cfg.coupled,
                                             use_hji=a["use_hji"]))
-            s = mc.run_dynamic_obstacle(
+            s, per = mc.run_dynamic_obstacle(
                 cfg, tube, cache, scen, n_steps=args.steps,
-                collision_threshold=args.collision_threshold)
+                collision_threshold=args.collision_threshold,
+                per_scenario=True)
+            collided = np.asarray(per.collided)
             reg[name] = {
                 "collision_frac": round(s.collision_frac, 4),
+                "collision_frac_certified": round(
+                    float(collided[cert].mean()), 4) if cert.any()
+                    else None,
+                "collision_frac_uncertified": round(
+                    float(collided[~cert].mean()), 4) if (~cert).any()
+                    else None,
                 "min_separation_m": round(s.min_separation_m, 3),
                 "hji_active_frac": round(s.hji_active_frac, 4),
                 "tracking_e_p99_m": round(s.tracking_e_p99, 4),
@@ -114,6 +140,11 @@ def main():
                 reg[f"collision_reduction_{name}"] = round(
                     reg["off"]["collision_frac"]
                     - reg[name]["collision_frac"], 4)
+                c_off = reg["off"]["collision_frac_certified"]
+                c_on = reg[name]["collision_frac_certified"]
+                if c_off is not None and c_off > 0:
+                    reg[f"certified_reduction_ratio_{name}"] = round(
+                        c_off / max(c_on, 1.0 / max(cert.sum(), 1)), 2)
         out[rname] = reg
         with open("/root/repo/SAFETY_AB.json", "w") as f:
             json.dump(out, f, indent=1)

@@ -1,21 +1,25 @@
 """Production-resolution 7-D HJI solve on the TPU + refinement study.
 
-VERDICT r2 item 5: solve the avoid-set HJI-VI at the raised production
-DEFAULT_SHAPE (9.65M grid points; a 13.75M grid reproducibly crashed the
-remote TPU worker and a full 2x-per-axis 54M grid exceeds single-chip
-HBM — XLA planned 39.8 G — and would need the grid sharded over a
-mesh), TIME it on-chip (per-sweep and total — substantiating /
-correcting hji_solve.py's original cost claims), and quantify
-coarse->fine refinement deltas on the Monte-Carlo scenario set:
-filter-activation agreement and constraint half-plane changes.
+Round 5 (VERDICT r4 items 1a + 2): the value grid now COVERS the
+Monte-Carlo scenario families (dE +-48 m vs r4's +-20 — in_grid_frac
+0.29-0.54 meant most scenarios started where V=+inf and the filter was
+structurally inert), and the refinement ladder gained a third level so
+"the two finest grids" (mid 7.0M -> production 37.8M points) quantify
+grid convergence of exactly what the QP consumes: the half-plane
+(M, b).  The production sweep runs slab-chunked (hji_solve slab_chunk)
+to bound single-chip HBM, and mid+production share a FIXED dt below
+both CFL bounds so the ladder compares identical pseudo-time grids
+(first-order scheme: free-running CFL paths add O(dt) noise to the
+deltas).
 
 Artifacts (saved INCREMENTALLY so a mid-run TPU fault loses nothing):
-HJI_PROD.json and assets/hji_cache_proto.npz (prototype-grid cache used
-by the safety A/B and CI; the production cache is ~450 MB and is
-regenerated on-device rather than committed).
+HJI_PROD.json, assets/hji_cache_proto.npz (CI / fast-iteration cache),
+assets/hji_cache_mid.npz (committed refinement-pair cache, V-only), and
+/tmp/hji_cache_production.npz (V-only, ~150 MB — regenerated on-device
+rather than committed; the safety A/B consumes it).
 
-Usage: python scripts/hji_production.py [--sweeps 600]
-       [--phase proto|production|refine|all]
+Usage: python scripts/hji_production.py [--sweeps 1100]
+       [--phase proto|mid|production|refine|all]
 """
 
 import argparse
@@ -39,7 +43,14 @@ from pigeon_tpu.config import x1_params
 
 OUT = "/root/repo/HJI_PROD.json"
 PROTO_NPZ = "/root/repo/assets/hji_cache_proto.npz"
+MID_NPZ = "/root/repo/assets/hji_cache_mid.npz"
 PROD_NPZ = "/tmp/hji_cache_production.npz"
+# refinement-pair grid: one ladder step below DEFAULT_SHAPE on the same
+# bounds (7.0M points)
+MID_SHAPE = (23, 11, 9, 9, 7, 7, 7)
+# fixed pseudo-time step shared by mid+production (below both grids'
+# CFL bounds; measured production CFL dt ~ 0.0036)
+DT_FIXED = 0.003
 
 
 def _load():
@@ -56,32 +67,34 @@ def _save(out):
 
 
 def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50,
-                horizon_s=None, retime=True):
+                horizon_s=None, retime=True, slab_chunk=0,
+                dt_fixed=None):
     # chunked launches: a single multi-minute device execution crashes
     # the remote TPU worker (watchdog); ~30 s chunks are safe
+    kw = dict(shape=shape, n_sweeps=sweeps, fx_samples=fx_samples,
+              sweep_chunk=chunk, horizon_s=horizon_s,
+              slab_chunk=slab_chunk, dt_fixed=dt_fixed)
     t0 = time.perf_counter()
-    cache, deltas, times = HS.solve_hji(
-        veh, shape=shape, n_sweeps=sweeps, fx_samples=fx_samples,
-        sweep_chunk=chunk, horizon_s=horizon_s)
+    cache, deltas, times = HS.solve_hji(veh, **kw)
     jax.block_until_ready(cache.V)
     total = time.perf_counter() - t0
     run_s = total
     if retime:
         # re-run to split compile from execute
         t1 = time.perf_counter()
-        cache, deltas, times = HS.solve_hji(
-            veh, shape=shape, n_sweeps=sweeps, fx_samples=fx_samples,
-            sweep_chunk=chunk, horizon_s=horizon_s)
+        cache, deltas, times = HS.solve_hji(veh, **kw)
         jax.block_until_ready(cache.V)
         run_s = time.perf_counter() - t1
     return cache, deltas, times, total, run_s
 
 
 def solve_phase(out, veh, name, shape, sweeps, npz, horizon_s=None,
-                retime=True):
+                retime=True, slab_chunk=0, dt_fixed=None,
+                include_grad=True):
     n_pts = int(np.prod(shape))
     cache, deltas, times, total_s, run_s = timed_solve(
-        veh, shape, sweeps, horizon_s=horizon_s, retime=retime)
+        veh, shape, sweeps, horizon_s=horizon_s, retime=retime,
+        slab_chunk=slab_chunk, dt_fixed=dt_fixed)
     # the avoid game between equal-agility vehicles is pursuer-won at
     # infinite horizon (V -> floor everywhere; measured: the fully
     # converged global-LF proto cache sat in [-3.0, -2.5] on the WHOLE
@@ -92,8 +105,11 @@ def solve_phase(out, veh, name, shape, sweeps, npz, horizon_s=None,
     k_h = (int(np.searchsorted(times, horizon_s)) if horizon_s
            else len(deltas))
     k_h = min(max(k_h, 1), len(deltas))
+    sweeps = len(deltas)        # early stop at horizon shortens the run
     out[name] = {
         "shape": list(shape), "grid_points": n_pts, "sweeps": sweeps,
+        "bounds": [list(b) for b in HS.DEFAULT_BOUNDS],
+        "slab_chunk": slab_chunk, "dt_fixed": dt_fixed,
         "horizon_s": horizon_s,
         "pseudo_time_reached_s": round(float(times[-1]), 3),
         "sweeps_to_horizon": k_h if horizon_s else None,
@@ -104,13 +120,72 @@ def solve_phase(out, veh, name, shape, sweeps, npz, horizon_s=None,
         "converged_1e-3": bool(deltas[-1] < 1e-3),
     }
     os.makedirs(os.path.dirname(npz), exist_ok=True)
-    HS.save_cache(npz, cache)
+    HS.save_cache(npz, cache, include_grad=include_grad)
     _save(out)
     print(json.dumps({name: out[name]}), flush=True)
 
 
+def _halfplane_rows(veh, cache, x_rel, eps_hp):
+    n = x_rel.shape[0]
+    V, _ = jax.vmap(lambda x: hji_mod.interpolate(cache, x))(x_rel)
+    u_lin = jnp.zeros((n, 2), x_rel.dtype)
+    M_, b_, _, _ = jax.vmap(
+        lambda x, u: hji_mod.reachability_constraint(
+            veh, cache, x, eps_hp, u))(x_rel, u_lin)
+    return np.asarray(V), np.asarray(M_), np.asarray(b_)
+
+
+def _pair_stats(coarse, fine, eps_hp, label_c, label_f):
+    Vc, Mc, bc = coarse
+    Vf, Mf, bf = fine
+    # V deltas only over states INSIDE both grids: outside-grid queries
+    # interpolate to +inf (reference semantics) and inf - inf is NaN
+    ingrid = np.isfinite(Vf) & np.isfinite(Vc)
+    dV = np.abs(Vf[ingrid] - Vc[ingrid]) if ingrid.any() else np.zeros(1)
+    rec = {
+        "pair": [label_c, label_f],
+        "in_grid_frac": round(float(ingrid.mean()), 4),
+        "V_mean_abs_delta": round(float(dV.mean()), 4),
+        "V_p99_abs_delta": round(float(np.percentile(dV, 99)), 4),
+    }
+    for eps in (0.05, 0.3, 0.6):
+        act_c, act_f = Vc <= eps, Vf <= eps
+        rec[f"eps_{eps}"] = {
+            f"active_frac_{label_c}": round(float(act_c.mean()), 4),
+            f"active_frac_{label_f}": round(float(act_f.mean()), 4),
+            "activation_agreement": round(float((act_c == act_f).mean()),
+                                          4),
+        }
+    both = (Vc <= eps_hp) & (Vf <= eps_hp)
+    rec["halfplane_eps"] = eps_hp
+    rec["halfplane_M_p99_delta_on_both_active"] = (
+        round(float(np.percentile(np.abs(Mf - Mc).max(axis=-1)[both], 99)),
+              4) if both.any() else None)
+    rec["halfplane_b_p99_delta_on_both_active"] = (
+        round(float(np.percentile(np.abs(bf - bc)[both], 99)), 4)
+        if both.any() else None)
+    # the QP consumes the NORMALIZED row (mpc.py hji_row_normalize), so
+    # grid convergence of the unit-row direction + clamped bound is what
+    # actually propagates downstream
+    def unit_rows(Mx, bx):
+        nrm = np.maximum(np.linalg.norm(Mx, axis=-1), 1e-9)
+        return Mx / nrm[:, None], bx / nrm
+    Mcu, bcu = unit_rows(Mc, bc)
+    Mfu, bfu = unit_rows(Mf, bf)
+    if both.any():
+        rec["halfplane_unitrow_M_p99_delta_on_both_active"] = round(
+            float(np.percentile(np.abs(Mfu - Mcu).max(axis=-1)[both], 99)),
+            4)
+        rec["halfplane_unitrow_b_p99_delta_on_both_active"] = round(
+            float(np.percentile(
+                np.abs(np.clip(bfu[both], -2, None)
+                       - np.clip(bcu[both], -2, None)), 99)), 4)
+    return rec
+
+
 def refine_phase(out, veh, scenarios):
     caches = {"proto": HS.load_cache(PROTO_NPZ),
+              "mid": HS.load_cache(MID_NPZ),
               "production": HS.load_cache(PROD_NPZ)}
     tube = trj.tube_from_world(
         "/root/reference/test/path/skidpadoval.world", pad_to=1024)
@@ -127,56 +202,34 @@ def refine_phase(out, veh, scenarios):
     # only when the game is nearly lost; 0.6 m is the A/B's early-engage
     # arm) so the "both active" set is non-trivial
     eps_hp = 0.6
-    rows = {}
-    for name, cache in caches.items():
-        V, _ = jax.vmap(lambda x: hji_mod.interpolate(cache, x))(x_rel)
-        u_lin = jnp.zeros((scenarios, 2), x_rel.dtype)
-        M_, b_, _, _ = jax.vmap(
-            lambda x, u: hji_mod.reachability_constraint(
-                veh, cache, x, eps_hp, u))(x_rel, u_lin)
-        rows[name] = (np.asarray(V), np.asarray(M_), np.asarray(b_))
-    Vc, Mc, bc = rows["proto"]
-    Vf, Mf, bf = rows["production"]
-    # V deltas only over states INSIDE both grids: outside-grid queries
-    # interpolate to +inf (reference semantics) and inf - inf is NaN
-    ingrid = np.isfinite(Vf) & np.isfinite(Vc)
-    dV = np.abs(Vf[ingrid] - Vc[ingrid]) if ingrid.any() else np.zeros(1)
+    rows = {name: _halfplane_rows(veh, cache, x_rel, eps_hp)
+            for name, cache in caches.items()}
     out["refinement"] = {
         "scenarios": scenarios,
-        "in_grid_frac": round(float(ingrid.mean()), 4),
-        "V_mean_abs_delta": round(float(dV.mean()), 4),
-        "V_p99_abs_delta": round(float(np.percentile(dV, 99)), 4),
+        "ladder": {n: list(c.dims) for n, c in caches.items()},
+        # VERDICT r4 item 2's "two finest grids" deltas:
+        "mid_to_production": _pair_stats(rows["mid"], rows["production"],
+                                         eps_hp, "mid", "production"),
+        "proto_to_production": _pair_stats(rows["proto"],
+                                           rows["production"], eps_hp,
+                                           "proto", "production"),
     }
-    for eps in (0.05, 0.3, 0.6):
-        act_c, act_f = Vc <= eps, Vf <= eps
-        out["refinement"][f"eps_{eps}"] = {
-            "active_frac_proto": round(float(act_c.mean()), 4),
-            "active_frac_production": round(float(act_f.mean()), 4),
-            "activation_agreement": round(float((act_c == act_f).mean()),
-                                          4),
-        }
-    both = (Vc <= eps_hp) & (Vf <= eps_hp)
-    out["refinement"]["halfplane_eps"] = eps_hp
-    out["refinement"]["halfplane_M_p99_delta_on_both_active"] = (
-        round(float(np.percentile(np.abs(Mf - Mc).max(axis=-1)[both], 99)),
-              4) if both.any() else None)
-    out["refinement"]["halfplane_b_p99_delta_on_both_active"] = (
-        round(float(np.percentile(np.abs(bf - bc)[both], 99)), 4)
-        if both.any() else None)
     out["proto_cache_file"] = "assets/hji_cache_proto.npz"
+    out["mid_cache_file"] = "assets/hji_cache_mid.npz"
     _save(out)
     print(json.dumps(out["refinement"]), flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sweeps", type=int, default=600)
+    ap.add_argument("--sweeps", type=int, default=1200)
     ap.add_argument("--scenarios", type=int, default=512)
     ap.add_argument("--horizon", type=float, default=3.0,
                     help="pseudo-time horizon (s); the finite-horizon "
                          "avoid value is the useful artifact")
     ap.add_argument("--phase", default="all",
-                    choices=["proto", "production", "refine", "all"])
+                    choices=["proto", "mid", "production", "refine",
+                             "all"])
     ap.add_argument("--single-run", action="store_true",
                     help="skip the compile/execute-splitting re-run "
                          "(run_s then includes compile)")
@@ -188,10 +241,14 @@ def main():
         solve_phase(out, veh, "proto", HS.PROTO_SHAPE, args.sweeps,
                     PROTO_NPZ, horizon_s=args.horizon,
                     retime=not args.single_run)
+    if args.phase in ("mid", "all"):
+        solve_phase(out, veh, "mid", MID_SHAPE, args.sweeps,
+                    MID_NPZ, horizon_s=args.horizon, retime=False,
+                    dt_fixed=DT_FIXED, include_grad=False)
     if args.phase in ("production", "all"):
         solve_phase(out, veh, "production", HS.DEFAULT_SHAPE, args.sweeps,
-                    PROD_NPZ, horizon_s=args.horizon,
-                    retime=not args.single_run)
+                    PROD_NPZ, horizon_s=args.horizon, retime=False,
+                    slab_chunk=11, dt_fixed=DT_FIXED, include_grad=False)
     if args.phase in ("refine", "all"):
         refine_phase(out, veh, args.scenarios)
 

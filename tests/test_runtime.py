@@ -22,6 +22,10 @@ def rt():
     return r
 
 
+def _fast_cfg():
+    return M.x1_coupled_config(hz=HorizonParams(N_short=2, N_long=3))
+
+
 def _msg(seq, t=0.0, E=0.2, ux=5.0, pre=1):
     return FromAutobox(seq=seq, stamp=t, E_m=E, N_m=5.0, psi_rad=0.0,
                        ux_mps=ux, uy_mps=0.0, r_radps=0.0, pre_flag=pre)
@@ -246,3 +250,61 @@ def test_walls_constrain_lateral_error():
     assert e_wall[-1] < -0.15
     assert np.all(e_wall[2:] < -0.1)
     assert np.all(np.isfinite(np.asarray(u3)))
+
+
+def test_runtime_warmup_and_budget_warning(caplog):
+    """Construction-time warm-up compiles every program (first on_state
+    pays no compile), the per-step timer records latencies, and a step
+    past the budget logs a warning (reference src/Pigeon.jl:44-58 +
+    src/ros_integration.jl:105-109)."""
+    import logging
+    import time
+
+    cfg = _fast_cfg()
+    t0 = time.perf_counter()
+    r = ControllerRuntime(cfg, pad_to=32, warmup=True,
+                          step_budget_s=1e-9)   # force a "violation"
+    compile_s = time.perf_counter() - t0
+    with caplog.at_level(logging.WARNING, "pigeon_tpu.runtime"):
+        cmd = r.on_state(FromAutobox(seq=1, stamp=0.0, E_m=0.0, N_m=0.0,
+                                     psi_rad=0.0, ux_mps=5.0, uy_mps=0.0,
+                                     r_radps=0.0))
+    assert cmd is not None
+    stats = r.latency_stats()
+    assert stats["n"] == 1
+    assert stats["budget_violations"] == 1
+    assert any("exceeded budget" in m for m in caplog.messages)
+    # the warmed step must run far faster than construction+compile
+    assert stats["p50_ms"] / 1e3 < compile_s
+
+
+def test_runtime_trajmsg_wire_ingest():
+    """Round-trip: serialize a VehicleTrajectory to the ROS1 wire format,
+    ingest through set_trajectory_msg, and verify mode/offset/arrays —
+    the /des_traj parity with src/ros_integration.jl:36-41."""
+    import numpy as np
+
+    from pigeon_tpu import trajectory as trj
+
+    n = 24
+    t = np.linspace(0.0, 4.6, n)
+    V = np.full(n, 6.0)
+    s = t * 6.0
+    psi = np.linspace(0.0, 0.4, n)
+    E = -np.sin(psi) * s
+    N = np.cos(psi) * s
+    buf = trj.serialize_trajmsg(
+        t, s, V, np.zeros(n), E, N, psi, np.full(n, 0.02),
+        np.zeros(n), np.zeros(n), np.full(n, 3.5), np.full(n, -3.5),
+        stamp=123.25, seq=7, frame_id="map")
+    cfg = _fast_cfg()
+    r = ControllerRuntime(cfg, pad_to=32, warmup=False)
+    r.set_trajectory_msg(buf)
+    assert r.tracking_mode == "traj"
+    assert abs(r.time_offset - 123.25) < 1e-6
+    assert int(r.tube.n_valid) == n
+    np.testing.assert_allclose(np.asarray(r.tube.V)[:n], V)
+    np.testing.assert_allclose(np.asarray(r.tube.kappa)[:n], 0.02)
+    np.testing.assert_allclose(np.asarray(r.tube.t)[:n], t, atol=1e-12)
+    # warm start dropped on trajectory swap (reference :41)
+    assert not bool(r.carries["traj"].solved)
