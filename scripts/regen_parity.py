@@ -27,7 +27,15 @@ if os.path.exists(ROWS_JSONL):
 rows = []
 for form, subs, mode in (("decoupled", 1, "literal"),
                          ("coupled", 1, "literal"),
-                         ("coupled", 4, "stabilized_rk4x4")):
+                         ("coupled", 4, "stabilized_rk4x4"),
+                         # round 5: PROPERLY stabilized — substeps=8 keeps
+                         # |R(lambda h)| <= 0.62 at every path's slowest
+                         # speed (parity.stable_substeps); rk4x4 was
+                         # AMPLIFYING 12.9x/stage on vail (V_min=2.7,
+                         # lambda=-98.7) and marginal on westpaddock
+                         # (|R|=0.69) — exactly the two paths whose rows
+                         # fell short (VERDICT r4 item 3)
+                         ("coupled", 8, "stabilized_rk4x8")):
     for w in P.ALL_WORLDS:
         key_path = os.path.splitext(os.path.basename(w))[0]
         if (key_path, form, subs) in done:
@@ -52,8 +60,21 @@ out = {
         "step linearization, which amplifies the stiff tire modes over "
         "dt_long - its solver non-convergence is the reference's own "
         "instability, so deltas cover the mutually-converged prefix); "
+        "Attribution (measured on vail, 60 steps): deviation-set vs "
+        "{faithful-discretization + corrected tire} differs by the SAME "
+        "13 mrad / 2 kN as vs full-faithful, while deviation-set vs "
+        "{expm + reference tire + no clamp} differs by 0 - the vail "
+        "stabilized-row deltas are purely rk4-substep vs exact-expm "
+        "discretization error of the stiff tire mode (lambda=-98.7/s: "
+        "|R_rk4(z)|=0.62 vs |e^z|=0.085 at substeps=8), not the tire/"
+        "clamp deviations. "
         "'stabilized_rk4x4' = the same reference algorithm with 4 RK4 "
-        "substeps (stable, full 300-step comparison)."),
+        "substeps (stable on 6/8 paths; vail amplifies 12.9x/stage at "
+        "its 2.7 m/s minimum speed and westpaddock is marginal at "
+        "|R|=0.69 - the per-path RK4 stability analysis is "
+        "parity.stable_substeps); 'stabilized_rk4x8' = 8 substeps, "
+        "|R| <= 0.62 at every path's slowest speed - the full-length "
+        "apples-to-apples family."),
     "solver": "eps 1e-6, max_iter 4000, exact Cholesky factorization "
               "(xla backend)",
     "rows": rows,
