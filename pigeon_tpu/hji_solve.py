@@ -57,14 +57,24 @@ DEFAULT_BOUNDS = (
     (-1.5, 1.5),      # r
 )
 # Production default (round 5): wider dE box (above) + refined gradient
-# axes.  The half-plane row M the QP consumes is built from gradV over
-# (Ux, Uy, r), so those axes got the round-5 refinement priority.  Grids
-# this size exceed what a single whole-grid sweep can hold in HBM
-# intermediates; the slab-chunked sweep (`slab_chunk`) bounds peak
-# footprint to O(grid/slabs) flow intermediates, and the mesh-sharded
-# solver (`solve_hji_vi_sharded`) splits axis 0 across devices with
-# ppermute halo exchange.  Tests pass explicit small shapes.
-DEFAULT_SHAPE = (33, 13, 11, 11, 9, 9, 9)
+# axes, with the grid SHAPE designed around the TPU's (8, 128) vector
+# tiling.  XLA pads an array's two minor dimensions to multiples of
+# (8, 128); the semantic axis order ends in (V=9, r=9), which padded to
+# (16, 128) — a MEASURED 14.3x memory expansion that OOM'd the 37.8M
+# grid at compile time (and silently taxed every round-4 sweep with
+# ~14x wasted bandwidth/lanes).  The production solve therefore stores
+# the grid REVERSED (PROD_AXIS_ORDER): minor dims (dN=16, dE=128) pad
+# to exactly themselves — zero waste — which is why dE gets 128 knots
+# (h = 0.75 m) "for free" and the 220M-point grid sweeps FASTER than
+# round 4's 9.65M.  Grids this size exceed whole-grid-sweep HBM; the
+# slab-chunked sweep (`slab_chunk`) bounds the footprint, and the
+# mesh-sharded solver (`solve_hji_vi_sharded`) splits axis 0 across
+# devices with ppermute halo exchange.  Tests pass explicit small
+# shapes (semantic order: tiny grids don't care about tiling).
+DEFAULT_SHAPE = (128, 16, 11, 11, 11, 9, 9)
+# storage permutation for the production solve: grid axis i holds
+# semantic axis PROD_AXIS_ORDER[i]
+PROD_AXIS_ORDER = (6, 5, 4, 3, 2, 1, 0)
 PROTO_SHAPE = (15, 11, 9, 7, 5, 7, 5)
 
 
@@ -466,6 +476,7 @@ def solve_hji(veh: VehicleParams,
               mesh=None,
               mesh_axis: str = "dp",
               dt_fixed=None,
+              axis_order=None,
               dtype=jnp.float32
               ) -> "tuple[hji_mod.HJICache, np.ndarray, np.ndarray]":
     """Solve the avoid HJI-VI on a 7-D grid.
@@ -475,33 +486,50 @@ def solve_hji(veh: VehicleParams,
     devices instead (ppermute halo exchange; mutually exclusive with
     slab_chunk).
 
+    axis_order: optional storage permutation — grid axis i holds
+    semantic axis axis_order[i] (bounds/shape stay in SEMANTIC order).
+    Production passes PROD_AXIS_ORDER so the grid's two minor
+    dimensions match the TPU's (8, 128) tiling (see DEFAULT_SHAPE
+    comment: the semantic layout pays a measured 14.3x padding
+    expansion).  The returned cache is always semantic.
+
     Returns (cache, deltas, times): the `HJICache` plus the per-sweep
     sup-norm update magnitudes and cumulative pseudo-times (convergence
     trace, shape (n_sweeps,))."""
+    order = (tuple(axis_order) if axis_order is not None
+             else tuple(range(7)))
+    inv = tuple(order.index(j) for j in range(7))  # semantic -> grid pos
     knots = [np.linspace(lo, hi, k) for (lo, hi), k in zip(bounds, shape)]
-    hs = [float(k[1] - k[0]) for k in knots]
-    knots_j = [jnp.asarray(k, dtype) for k in knots]
+    hs_sem = [float(k[1] - k[0]) for k in knots]
+    hs = [hs_sem[order[i]] for i in range(7)]      # grid-axis spacings
+    knots_g = [jnp.asarray(knots[order[i]], dtype) for i in range(7)]
+    inv_j = jnp.asarray(inv)
+    ord_j = jnp.asarray(order)
 
     def make_X(start0, k0):
         # build the coordinate stack INSIDE the traced computation from
         # the tiny 1-D knot vectors: embedding a multi-GB meshgrid as an
         # HLO constant would blow compile-time memory at production
         # grids.  (start0, k0) select the axis-0 slab being processed
-        # (whole axis for unchunked sweeps).
-        k0_knots = jax.lax.dynamic_slice_in_dim(knots_j[0],
+        # (whole axis for unchunked sweeps).  Components are stacked in
+        # SEMANTIC order regardless of the grid-axis permutation.
+        k0_knots = jax.lax.dynamic_slice_in_dim(knots_g[0],
                                                 start0, k0, 0)
-        grids = jnp.meshgrid(k0_knots, *knots_j[1:], indexing="ij")
-        return jnp.stack(grids, axis=-1)                   # (..., 7)
+        grids = jnp.meshgrid(k0_knots, *knots_g[1:], indexing="ij")
+        return jnp.stack([grids[inv[j]] for j in range(7)], axis=-1)
 
-    l = jax.jit(lambda: collision_distance(make_X(0, shape[0]), margin)
-                .astype(dtype))()
+    l = jax.jit(lambda: collision_distance(make_X(0, shape[order[0]]),
+                                           margin).astype(dtype))()
 
     def flow(start0, gradV):
+        # gradV arrives per GRID axis; the dynamics speak semantic
         X = make_X(start0, gradV.shape[0])
-        uR = hji_mod.optimal_control(veh, X, gradV, "max",
+        gradV_sem = gradV[..., inv_j]
+        uR = hji_mod.optimal_control(veh, X, gradV_sem, "max",
                                      n_samples=fx_samples)
-        uH = hji_mod.optimal_disturbance(veh, X, gradV, "min")
-        return hji_mod.relative_dynamics(veh, X, uR, uH)     # (..., 7)
+        uH = hji_mod.optimal_disturbance(veh, X, gradV_sem, "min")
+        f_sem = hji_mod.relative_dynamics(veh, X, uR, uH)    # (..., 7)
+        return f_sem[..., ord_j]                   # back to grid order
 
     # mathematical floor: V = min-over-time of l >= min(l) = -margin
     if mesh is not None:
@@ -517,11 +545,16 @@ def solve_hji(veh: VehicleParams,
                                         slab_chunk=slab_chunk,
                                         dt_fixed=dt_fixed)
 
-    # gradient field for the cache (central differences of the solution)
+    # gradient field for the cache (central differences of the solution,
+    # computed in grid order, then both the spatial axes and the
+    # component axis are permuted back to semantic)
     hs_j = jnp.asarray(hs, dtype)
     gradV = jnp.stack(
         [sum(_axis_diffs(V, hs_j[ax], ax)) * 0.5 for ax in range(7)],
         axis=-1)
+    if axis_order is not None:
+        V = jnp.transpose(V, axes=inv)
+        gradV = jnp.transpose(gradV, axes=inv + (7,))[..., inv_j]
 
     cache = hji_mod.make_cache(knots, np.asarray(V), np.asarray(gradV))
     return cache, np.asarray(deltas), np.asarray(times)

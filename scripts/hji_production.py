@@ -47,10 +47,13 @@ MID_NPZ = "/root/repo/assets/hji_cache_mid.npz"
 PROD_NPZ = "/tmp/hji_cache_production.npz"
 # refinement-pair grid: one ladder step below DEFAULT_SHAPE on the same
 # bounds (7.0M points)
-MID_SHAPE = (23, 11, 9, 9, 7, 7, 7)
+# refinement-pair grid: ~half the production resolution per axis, same
+# bounds, same padding-aware storage order (dE=64 still pads to 128 —
+# a 2x expansion the small grid can afford)
+MID_SHAPE = (64, 8, 9, 9, 9, 7, 7)
 # fixed pseudo-time step shared by mid+production (below both grids'
-# CFL bounds; measured production CFL dt ~ 0.0036)
-DT_FIXED = 0.003
+# CFL bounds; production CFL dt ~ 0.0024 at the h_dE = 0.75 m grid)
+DT_FIXED = 0.002
 
 
 def _load():
@@ -68,12 +71,13 @@ def _save(out):
 
 def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50,
                 horizon_s=None, retime=True, slab_chunk=0,
-                dt_fixed=None):
+                dt_fixed=None, axis_order=None):
     # chunked launches: a single multi-minute device execution crashes
     # the remote TPU worker (watchdog); ~30 s chunks are safe
     kw = dict(shape=shape, n_sweeps=sweeps, fx_samples=fx_samples,
               sweep_chunk=chunk, horizon_s=horizon_s,
-              slab_chunk=slab_chunk, dt_fixed=dt_fixed)
+              slab_chunk=slab_chunk, dt_fixed=dt_fixed,
+              axis_order=axis_order)
     t0 = time.perf_counter()
     cache, deltas, times = HS.solve_hji(veh, **kw)
     jax.block_until_ready(cache.V)
@@ -90,11 +94,11 @@ def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50,
 
 def solve_phase(out, veh, name, shape, sweeps, npz, horizon_s=None,
                 retime=True, slab_chunk=0, dt_fixed=None,
-                include_grad=True):
+                include_grad=True, axis_order=None):
     n_pts = int(np.prod(shape))
     cache, deltas, times, total_s, run_s = timed_solve(
         veh, shape, sweeps, horizon_s=horizon_s, retime=retime,
-        slab_chunk=slab_chunk, dt_fixed=dt_fixed)
+        slab_chunk=slab_chunk, dt_fixed=dt_fixed, axis_order=axis_order)
     # the avoid game between equal-agility vehicles is pursuer-won at
     # infinite horizon (V -> floor everywhere; measured: the fully
     # converged global-LF proto cache sat in [-3.0, -2.5] on the WHOLE
@@ -110,6 +114,7 @@ def solve_phase(out, veh, name, shape, sweeps, npz, horizon_s=None,
         "shape": list(shape), "grid_points": n_pts, "sweeps": sweeps,
         "bounds": [list(b) for b in HS.DEFAULT_BOUNDS],
         "slab_chunk": slab_chunk, "dt_fixed": dt_fixed,
+        "axis_order": (list(axis_order) if axis_order else None),
         "horizon_s": horizon_s,
         "pseudo_time_reached_s": round(float(times[-1]), 3),
         "sweeps_to_horizon": k_h if horizon_s else None,
@@ -244,11 +249,13 @@ def main():
     if args.phase in ("mid", "all"):
         solve_phase(out, veh, "mid", MID_SHAPE, args.sweeps,
                     MID_NPZ, horizon_s=args.horizon, retime=False,
-                    dt_fixed=DT_FIXED, include_grad=False)
+                    dt_fixed=DT_FIXED, include_grad=False,
+                    slab_chunk=1, axis_order=HS.PROD_AXIS_ORDER)
     if args.phase in ("production", "all"):
         solve_phase(out, veh, "production", HS.DEFAULT_SHAPE, args.sweeps,
                     PROD_NPZ, horizon_s=args.horizon, retime=False,
-                    slab_chunk=11, dt_fixed=DT_FIXED, include_grad=False)
+                    slab_chunk=1, dt_fixed=DT_FIXED, include_grad=False,
+                    axis_order=HS.PROD_AXIS_ORDER)
     if args.phase in ("refine", "all"):
         refine_phase(out, veh, args.scenarios)
 

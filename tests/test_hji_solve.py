@@ -174,3 +174,24 @@ def test_hji_slab_chunked_matches_unchunked(x1):
     err = np.abs(np.asarray(cache_u.V) - np.asarray(cache_c.V))
     assert err.max() < 0.05, err.max()
     assert err.mean() < 1e-3, err.mean()
+
+
+def test_hji_axis_order_invariance(x1):
+    """Solving with the padding-optimal storage permutation
+    (PROD_AXIS_ORDER) returns the SAME semantic cache as the identity
+    order: same pseudo-time trace (fixed dt), values equal to the
+    argmax-flip noise floor, identical knots.  Pins the grid<->semantic
+    permutation plumbing the production solve relies on."""
+    shape = (12, 7, 5, 5, 3, 5, 3)
+    kw = dict(shape=shape, fx_samples=5, horizon_s=1.5, dt_fixed=0.004,
+              n_sweeps=80)
+    c_sem, _, t1 = HS.solve_hji(x1, **kw)
+    c_rev, _, t2 = HS.solve_hji(x1, axis_order=HS.PROD_AXIS_ORDER, **kw)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), rtol=1e-5)
+    assert c_rev.dims == c_sem.dims == tuple(shape)
+    for k_r, k_s in zip(c_rev.knots, c_sem.knots):
+        np.testing.assert_array_equal(np.asarray(k_r), np.asarray(k_s))
+    err = np.abs(np.asarray(c_rev.V) - np.asarray(c_sem.V))
+    assert err.max() < 0.05, err.max()
+    g_err = np.abs(np.asarray(c_rev.gradV) - np.asarray(c_sem.gradV))
+    assert np.percentile(g_err, 99) < 0.1, np.percentile(g_err, 99)
