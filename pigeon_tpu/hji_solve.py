@@ -49,7 +49,11 @@ DEFAULT_BOUNDS = (
     # in_grid_frac at 0.29-0.54: most scenarios STARTED outside the grid
     # where V=+inf makes the filter structurally inert (VERDICT r4).
     (-48.0, 48.0),    # dE (longitudinal offset, ego frame)
-    (-12.0, 12.0),    # dN (lateral offset)
+    # dN +-32: on curved paths an oncoming car 40 m ahead ALONG THE PATH
+    # sits up to ~32 m off the ego's body-frame lateral axis (measured on
+    # skidpadoval MC scenarios: dN in [-1.9, 31.6]); +-12 left a third of
+    # scenario starts outside the grid
+    (-32.0, 32.0),    # dN (lateral offset)
     (-np.pi, np.pi),  # dpsi
     (1.0, 18.0),      # Ux
     (-3.0, 3.0),      # Uy
@@ -63,15 +67,15 @@ DEFAULT_BOUNDS = (
 # (16, 128) — a MEASURED 14.3x memory expansion that OOM'd the 37.8M
 # grid at compile time (and silently taxed every round-4 sweep with
 # ~14x wasted bandwidth/lanes).  The production solve therefore stores
-# the grid REVERSED (PROD_AXIS_ORDER): minor dims (dN=16, dE=128) pad
+# the grid REVERSED (PROD_AXIS_ORDER): minor dims (dN=32, dE=128) pad
 # to exactly themselves — zero waste — which is why dE gets 128 knots
-# (h = 0.75 m) "for free" and the 220M-point grid sweeps FASTER than
+# (h = 0.76 m) "for free" and the 242M-point grid sweeps FASTER than
 # round 4's 9.65M.  Grids this size exceed whole-grid-sweep HBM; the
 # slab-chunked sweep (`slab_chunk`) bounds the footprint, and the
 # mesh-sharded solver (`solve_hji_vi_sharded`) splits axis 0 across
 # devices with ppermute halo exchange.  Tests pass explicit small
 # shapes (semantic order: tiny grids don't care about tiling).
-DEFAULT_SHAPE = (128, 16, 11, 11, 11, 9, 9)
+DEFAULT_SHAPE = (128, 32, 9, 9, 9, 9, 9)
 # storage permutation for the production solve: grid axis i holds
 # semantic axis PROD_AXIS_ORDER[i]
 PROD_AXIS_ORDER = (6, 5, 4, 3, 2, 1, 0)

@@ -233,41 +233,58 @@ def _nodes_coupled_cold(cfg: MPCConfig, tube, q0, u0, ts, dt):
     s1 = s0 + V1 * tau0 + A_0 * tau0 * tau0 / 2.0
 
     taus = jnp.concatenate([dt[1:], dt[N - 2:N - 1]])   # tau for i=1..N-1
-    idx = jnp.arange(1, N)
 
     cti = cfg.tire_inverse == "corrected"
 
-    def body(carry, inp):
+    # The short/long stage split (`i <= S`) is STATIC, so the horizon is
+    # seeded by two scans — the short stages run only the warm-state
+    # 1-iteration trim, the long stages only the 4-iteration cold trim —
+    # instead of one scan computing BOTH per stage and selecting (5 trim
+    # iterations of work per stage where 1 or 4 suffice; the trim
+    # fixed point dominates cold node seeding).  Bitwise-identical
+    # outputs: the carry (V, s) flows from the first scan into the
+    # second exactly as in the fused loop.
+    def body_short(carry, inp):
         V, s = carry
-        i, tau, t_i = inp
+        tau, t_i = inp
         tj = trj.eval_arclength(tube, s, fields=("psi", "kappa"))
         ds_i = s - trj.eval_time(tube, t_i, fields=()).s
         A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
-        short = i <= S
         est1 = dyn.steady_state_estimates(
             veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
             delta0=delta0, Fyf0=Fyf0, corrected_tire_inverse=cti)
+        q = jnp.stack([ds_i, q0[3], q0[4], q0[5],
+                       adiff(q0[2], tj.psi), e0])
+        u = jnp.stack([est1.delta, est1.Fxf + est1.Fxr])
+        p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
+        V_n = V + est1.A * tau
+        s_n = s + V_n * tau + est1.A * tau * tau / 2.0
+        return (V_n, s_n), (q, u, p)
+
+    def body_long(carry, inp):
+        V, s = carry
+        tau, t_i = inp
+        tj = trj.eval_arclength(tube, s, fields=("psi", "kappa"))
+        ds_i = s - trj.eval_time(tube, t_i, fields=()).s
+        A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
         est4 = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
                                           num_iters=4,
                                           corrected_tire_inverse=cti)
-        q_short = jnp.stack([ds_i, q0[3], q0[4], q0[5],
-                             adiff(q0[2], tj.psi), e0])
-        q_long = jnp.stack([ds_i, est4.Ux, est4.Uy, est4.r, -est4.beta,
-                            0.0 * s])
-        q = jnp.where(short, q_short, q_long)
-        u = jnp.where(short,
-                      jnp.stack([est1.delta, est1.Fxf + est1.Fxr]),
-                      jnp.stack([est4.delta, est4.Fxf + est4.Fxr]))
+        q = jnp.stack([ds_i, est4.Ux, est4.Uy, est4.r, -est4.beta,
+                       0.0 * s])
+        u = jnp.stack([est4.delta, est4.Fxf + est4.Fxr])
         p = jnp.stack([tj.V, tj.kappa, 0.0 * s, 0.0 * s])
-        A = jnp.where(short, est1.A, est4.A)
-        V_n = V + A * tau
-        s_n = s + V_n * tau + A * tau * tau / 2.0
+        V_n = V + est4.A * tau
+        s_n = s + V_n * tau + est4.A * tau * tau / 2.0
         return (V_n, s_n), (q, u, p)
 
-    _, (q_t, u_t, p_t) = jax.lax.scan(body, (V1, s1), (idx, taus, ts[1:]))
-    qs = jnp.concatenate([q_0[None], q_t])
-    us = jnp.concatenate([u20[None], u_t])
-    ps = jnp.concatenate([p_0[None], p_t])
+    carry1, (q_s, u_s, p_s) = jax.lax.scan(
+        body_short, (V1, s1), (taus[:S], ts[1:S + 1]))
+    _, (q_l, u_l, p_l) = jax.lax.scan(
+        body_long, carry1, (taus[S:], ts[S + 1:]))
+    qs = jnp.concatenate([q_0[None], q_s, q_l])
+    us = jnp.concatenate([u20[None], u_s, u_l])
+    ps = jnp.concatenate([p_0[None], p_s, p_l])
     return qs, us, ps
 
 
@@ -349,41 +366,51 @@ def _nodes_decoupled(cfg: MPCConfig, tube, q0, u0, ts, dt):
     V1, s1 = V1.astype(ctype), s1.astype(ctype)
 
     taus = jnp.concatenate([dt[1:], dt[N - 2:N - 1]])
-    idx = jnp.arange(1, N)
 
     cti = cfg.tire_inverse == "corrected"
 
-    def body(carry, inp):
+    # static short/long split — two scans, each running ONLY the trim its
+    # stages need (see _nodes_coupled_cold; bitwise-identical outputs,
+    # ~45% less trim work on the always-cold decoupled path)
+    def body_short(carry, inp):
         V, s = carry
-        i, tau, t_i = inp
+        tau, t_i = inp
         tj = trj.eval_arclength(tube, s, fields=("psi", "kappa"))
         ds_i = s - trj.eval_time(tube, t_i, fields=()).s
         A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
-        short = i <= S
         est1 = dyn.steady_state_estimates(
             veh, V, A_des, tj.kappa, num_iters=1, r=r0, beta0=beta0,
             delta0=delta0, Fyf0=Fyf0, corrected_tire_inverse=cti)
+        q = jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0])
+        u = jnp.stack([est1.delta, est1.Fxf + est1.Fxr])
+        p = jnp.stack([est1.Ux, tj.kappa, 0.0 * s, 0.0 * s])
+        V_n = V + est1.A * tau
+        s_n = s + V_n * tau + est1.A * tau * tau / 2.0
+        return (V_n, s_n), (q, u, p)
+
+    def body_long(carry, inp):
+        V, s = carry
+        tau, t_i = inp
+        tj = trj.eval_arclength(tube, s, fields=("psi", "kappa"))
+        ds_i = s - trj.eval_time(tube, t_i, fields=()).s
+        A_des = _accel_desired(cfg, tj.A, tj.V, V, ds_i, tau)
         est4 = dyn.steady_state_estimates(veh, V, A_des, tj.kappa,
                                           num_iters=4,
                                           corrected_tire_inverse=cti)
-        q = jnp.where(short,
-                      jnp.stack([q0[4], q0[5], adiff(q0[2], tj.psi), e0]),
-                      jnp.stack([est4.Uy, est4.r, -est4.beta, 0.0 * s]))
-        u = jnp.where(short,
-                      jnp.stack([est1.delta, est1.Fxf + est1.Fxr]),
-                      jnp.stack([est4.delta, est4.Fxf + est4.Fxr]))
-        p = jnp.where(short,
-                      jnp.stack([est1.Ux, tj.kappa, 0.0 * s, 0.0 * s]),
-                      jnp.stack([est4.Ux, tj.kappa, 0.0 * s, 0.0 * s]))
-        A = jnp.where(short, est1.A, est4.A)
-        V_n = V + A * tau
-        s_n = s + V_n * tau + A * tau * tau / 2.0
+        q = jnp.stack([est4.Uy, est4.r, -est4.beta, 0.0 * s])
+        u = jnp.stack([est4.delta, est4.Fxf + est4.Fxr])
+        p = jnp.stack([est4.Ux, tj.kappa, 0.0 * s, 0.0 * s])
+        V_n = V + est4.A * tau
+        s_n = s + V_n * tau + est4.A * tau * tau / 2.0
         return (V_n, s_n), (q, u, p)
 
-    _, (q_t, u_t, p_t) = jax.lax.scan(body, (V1, s1), (idx, taus, ts[1:]))
-    qs = jnp.concatenate([q_0[None], q_t])
-    us = jnp.concatenate([u20[None], u_t])
-    ps = jnp.concatenate([p_0[None], p_t])
+    carry1, (q_s, u_s, p_s) = jax.lax.scan(
+        body_short, (V1, s1), (taus[:S], ts[1:S + 1]))
+    _, (q_l, u_l, p_l) = jax.lax.scan(
+        body_long, carry1, (taus[S:], ts[S + 1:]))
+    qs = jnp.concatenate([q_0[None], q_s, q_l])
+    us = jnp.concatenate([u20[None], u_s, u_l])
+    ps = jnp.concatenate([p_0[None], p_s, p_l])
     return qs, us, ps
 
 

@@ -50,10 +50,10 @@ PROD_NPZ = "/tmp/hji_cache_production.npz"
 # refinement-pair grid: ~half the production resolution per axis, same
 # bounds, same padding-aware storage order (dE=64 still pads to 128 —
 # a 2x expansion the small grid can afford)
-MID_SHAPE = (64, 8, 9, 9, 9, 7, 7)
+MID_SHAPE = (64, 16, 7, 7, 7, 7, 7)
 # fixed pseudo-time step shared by mid+production (below both grids'
-# CFL bounds; production CFL dt ~ 0.0024 at the h_dE = 0.75 m grid)
-DT_FIXED = 0.002
+# CFL bounds; production CFL dt ~ 0.0028 at the h_dE = 0.76 m grid)
+DT_FIXED = 0.0022
 
 
 def _load():
