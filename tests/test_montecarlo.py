@@ -84,3 +84,24 @@ def test_rollout_other_car_advances():
     # heading pi (from N) -> moving in -N
     assert oc[-1, 1] < oc[0, 1] - 1.0
     assert np.allclose(oc[:, 3], 5.0)
+
+
+def test_certify_avoidable_separates_cases(x1):
+    """The open-loop evasion certificate must accept a scenario with
+    ample dodge room and reject a point-blank head-on start no policy
+    can escape (VERDICT r4 item 1c machinery)."""
+    from pigeon_tpu import montecarlo as mc
+
+    # ego at origin heading +N at 6 m/s
+    q0 = np.tile(np.array([0.0, 0.0, 0.0, 6.0, 0.0, 0.0]), (2, 1))
+    # scenario 0: oncoming car 45 m ahead — full-lock swerve clears it
+    # scenario 1: 1.5 m dead ahead closing at 12 m/s — unavoidable
+    other0 = np.array([[0.0, 45.0, np.pi, 6.0],
+                       [0.0, 1.5, np.pi, 12.0]])
+    scen = mc.ScenarioSet(q0=jnp.asarray(q0, jnp.float32),
+                          other0=jnp.asarray(other0, jnp.float32),
+                          t0=jnp.zeros(2, jnp.float32))
+    ok, best = mc.certify_avoidable(x1, scen, n_steps=400)
+    ok, best = np.asarray(ok), np.asarray(best)
+    assert bool(ok[0]) and float(best[0]) >= 3.0, best
+    assert not bool(ok[1]) and float(best[1]) < 2.0, best
