@@ -223,8 +223,12 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
                 f"slab_chunk={slab_chunk}")
         n_slabs = l.shape[0] // slab_chunk
 
-        def slab_pass(V, t, dt):
-            """One sweep = lax.map over axis-0 slabs (dt fixed)."""
+        def slab_pass(V, l_arg, t, dt):
+            """One sweep = lax.map over axis-0 slabs (dt fixed).
+            l is threaded as an ARGUMENT: a closure-captured grid-sized
+            array becomes an embedded HLO constant, which at production
+            grids (~1 GB) overflows the remote-compile request body
+            (measured HTTP 413)."""
             Vp = _pad_axis0(V)
 
             def do_slab(i):
@@ -232,7 +236,7 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
                 Vs_pad = jax.lax.dynamic_slice_in_dim(Vp, a,
                                                       slab_chunk + 2, 0)
                 Vs = Vs_pad[1:-1]
-                ls = jax.lax.dynamic_slice_in_dim(l, a, slab_chunk, 0)
+                ls = jax.lax.dynamic_slice_in_dim(l_arg, a, slab_chunk, 0)
 
                 # axis-0 diffs from the halo'd slab; other axes local
                 def diffs0(Vx):
@@ -269,34 +273,35 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
             return V_new, alpha, delta
 
         @jax.jit
-        def alpha_pass(V):
-            _, alpha, _ = slab_pass(V, jnp.asarray(0.0, l.dtype),
+        def alpha_pass(V, l_arg):
+            _, alpha, _ = slab_pass(V, l_arg, jnp.asarray(0.0, l.dtype),
                                     jnp.asarray(0.0, l.dtype))
             return alpha
 
-        def sweep(carry, _):
+        def sweep(l_arg, carry, _):
             V, t, alpha_prev = carry
             dt = 0.9 * cfl / jnp.maximum(jnp.sum(alpha_prev / hs_j), 1e-6)
             if dt_fixed is not None:
                 dt = jnp.minimum(dt, jnp.asarray(dt_fixed, l.dtype))
-            V_new, alpha, delta = slab_pass(V, t, dt)
+            V_new, alpha, delta = slab_pass(V, l_arg, t, dt)
             return (V_new, t + dt, alpha), (delta, t + dt)
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def run_chunk(V0, t0, alpha0, k):
+        def run_chunk(V0, l_arg, t0, alpha0, k):
             (V, t, alpha), (deltas, times) = jax.lax.scan(
-                sweep, (V0, t0, alpha0), None, length=k)
+                functools.partial(sweep, l_arg), (V0, t0, alpha0), None,
+                length=k)
             return V, t, alpha, deltas, times
 
         V = l
         t = jnp.asarray(0.0, l.dtype)
-        alpha = alpha_pass(V)
+        alpha = alpha_pass(V, l)
         d_all, t_all = [], []
         left = n_sweeps
         step = sweep_chunk if sweep_chunk > 0 else n_sweeps
         while left > 0:
             k = min(step, left)
-            V, t, alpha, deltas, times = run_chunk(V, t, alpha, k)
+            V, t, alpha, deltas, times = run_chunk(V, l, t, alpha, k)
             jax.block_until_ready(V)
             d_all.append(deltas)
             t_all.append(times)
@@ -306,27 +311,28 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
                 break          # frozen sweeps would only burn flow compute
         return V, jnp.concatenate(d_all), jnp.concatenate(t_all)
 
-    def sweep(carry, _):
+    def sweep(l_arg, carry, _):
         V, t = carry
-        V_new, _, delta, dt = _sweep_body(V, l, hs_j, flow_fn, cfl, lo,
-                                          lf, horizon, t,
+        V_new, _, delta, dt = _sweep_body(V, l_arg, hs_j, flow_fn, cfl,
+                                          lo, lf, horizon, t,
                                           dt_cap=dt_fixed)
         return (V_new, t + dt), (delta, t + dt)
 
     if sweep_chunk <= 0 or sweep_chunk >= n_sweeps:
         @jax.jit
-        def run(V0):
+        def run(V0, l_arg):
             (V, _), (deltas, times) = jax.lax.scan(
-                sweep, (V0, jnp.asarray(0.0, l.dtype)), None,
+                functools.partial(sweep, l_arg),
+                (V0, jnp.asarray(0.0, l.dtype)), None,
                 length=n_sweeps)
             return V, deltas, times
 
-        return run(l)
+        return run(l, l)
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def run_chunk(V0, t0, k):
+    def run_chunk(V0, l_arg, t0, k):
         (V, t), (deltas, times) = jax.lax.scan(
-            sweep, (V0, t0), None, length=k)
+            functools.partial(sweep, l_arg), (V0, t0), None, length=k)
         return V, t, deltas, times
 
     V = l
@@ -335,7 +341,7 @@ def solve_hji_vi(l, hs, flow_fn, n_sweeps: int, cfl: float = 0.5,
     left = n_sweeps
     while left > 0:
         k = min(sweep_chunk, left)
-        V, t, deltas, times = run_chunk(V, t, k)
+        V, t, deltas, times = run_chunk(V, l, t, k)
         jax.block_until_ready(V)
         d_all.append(deltas)
         t_all.append(times)
