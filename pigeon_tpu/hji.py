@@ -41,20 +41,32 @@ from pigeon_tpu.math_utils import adiff
 class HJICache(NamedTuple):
     knots: tuple          # 7 arrays of grid knots
     V: jnp.ndarray        # flat (prod(dims),)
-    gradV: jnp.ndarray    # flat (prod(dims), 7)
+    # COMPONENT-MAJOR (7, prod(dims)): on TPU an array whose minor
+    # dimension is 7 is tile-padded 7 -> 128 (~18x memory; the 242M-point
+    # production cache would need 124 GB), while (7, P) pads to
+    # (8, P) — ~1.14x.  None = V-only cache (gradient not materialized;
+    # interpolate() then returns zero gradients, like the reference's
+    # placeholder cache).
+    gradV: "jnp.ndarray | None"
     dims: tuple           # static grid shape
     strides: tuple        # static row-major strides
 
 
-def make_cache(knots, V_grid, gradV_grid) -> HJICache:
+def make_cache(knots, V_grid, gradV_grid=None) -> HJICache:
     dims = tuple(int(k.shape[0]) for k in knots)
     strides = tuple(int(np.prod(dims[i + 1:], dtype=np.int64))
                     for i in range(7))
+    if gradV_grid is None:
+        g = None
+    else:
+        # transpose to component-major IN NUMPY: doing it on device would
+        # materialize the padded (P, 7) source first
+        g = jnp.asarray(np.ascontiguousarray(
+            np.asarray(gradV_grid, np.float32).reshape(-1, 7).T))
     return HJICache(
         knots=tuple(jnp.asarray(k, jnp.float32) for k in knots),
         V=jnp.asarray(V_grid, jnp.float32).reshape(-1),
-        gradV=jnp.asarray(gradV_grid, jnp.float32).reshape(-1, 7),
-        dims=dims, strides=strides)
+        gradV=g, dims=dims, strides=strides)
 
 
 def inactive_cache(value: float = 1e9) -> HJICache:
@@ -95,7 +107,10 @@ def interpolate(cache: HJICache, x):
     w = jnp.prod(jnp.where(corners == 1, frac[None, :], 1.0 - frac[None, :]),
                  axis=1)                    # (128,)
     V = jnp.sum(w * cache.V[flat])
-    g = jnp.sum(w[:, None] * cache.gradV[flat], axis=0)
+    if cache.gradV is None:
+        g = jnp.zeros(7, jnp.float32)
+    else:
+        g = jnp.sum(w[None, :] * cache.gradV[:, flat], axis=1)
     V = jnp.where(inside, V, jnp.inf)
     g = jnp.where(inside, g, jnp.zeros_like(g))
     return V, g

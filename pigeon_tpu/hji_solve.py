@@ -487,6 +487,7 @@ def solve_hji(veh: VehicleParams,
               mesh_axis: str = "dp",
               dt_fixed=None,
               axis_order=None,
+              with_grad: bool = True,
               dtype=jnp.float32
               ) -> "tuple[hji_mod.HJICache, np.ndarray, np.ndarray]":
     """Solve the avoid HJI-VI on a 7-D grid.
@@ -495,6 +496,10 @@ def solve_hji(veh: VehicleParams,
     sweep); mesh != None shards axis 0 across the mesh's `mesh_axis`
     devices instead (ppermute halo exchange; mutually exclusive with
     slab_chunk).
+
+    with_grad=False skips the gradient field (V-only cache — what the
+    production artifact stores; `load_cache` rebuilds gradients on
+    load).
 
     axis_order: optional storage permutation — grid axis i holds
     semantic axis axis_order[i] (bounds/shape stay in SEMANTIC order).
@@ -555,18 +560,16 @@ def solve_hji(veh: VehicleParams,
                                         slab_chunk=slab_chunk,
                                         dt_fixed=dt_fixed)
 
-    # gradient field for the cache (central differences of the solution,
-    # computed in grid order, then both the spatial axes and the
-    # component axis are permuted back to semantic)
-    hs_j = jnp.asarray(hs, dtype)
-    gradV = jnp.stack(
-        [sum(_axis_diffs(V, hs_j[ax], ax)) * 0.5 for ax in range(7)],
-        axis=-1)
+    # cache assembly: V is pulled to HOST once and the gradient field is
+    # computed in NUMPY (grad_from_V) — the device-side 7-component stack
+    # materializes (..., 7) temporaries whose minor dim pads 7 -> 128 on
+    # TPU (~18x; the 242M production grid OOM'd exactly here), and the
+    # host has far more RAM than HBM for this one-time post-processing.
+    V_np = np.asarray(V)
     if axis_order is not None:
-        V = jnp.transpose(V, axes=inv)
-        gradV = jnp.transpose(gradV, axes=inv + (7,))[..., inv_j]
-
-    cache = hji_mod.make_cache(knots, np.asarray(V), np.asarray(gradV))
+        V_np = np.ascontiguousarray(V_np.transpose(inv))
+    gradV_np = grad_from_V(V_np, knots) if with_grad else None
+    cache = hji_mod.make_cache(knots, V_np, gradV_np)
     return cache, np.asarray(deltas), np.asarray(times)
 
 
@@ -579,8 +582,10 @@ def save_cache(path: str, cache: hji_mod.HJICache,
     committed CI asset); `load_cache` recomputes gradV by the same
     central differences `solve_hji` used to build it."""
     arrs = {"V": np.asarray(cache.V).reshape(cache.dims)}
-    if include_grad:
-        arrs["gradV"] = np.asarray(cache.gradV).reshape(
+    if include_grad and cache.gradV is not None:
+        # stored npz layout stays grid-shaped (dims..., 7); the in-memory
+        # cache is component-major (7, P) — see HJICache.gradV
+        arrs["gradV"] = np.asarray(cache.gradV).T.reshape(
             cache.dims + (7,))
     np.savez_compressed(
         path, **arrs,
@@ -590,12 +595,23 @@ def save_cache(path: str, cache: hji_mod.HJICache,
 
 def grad_from_V(V, knots):
     """Central-difference gradient field (how solve_hji builds the
-    cache's gradV from the converged value grid)."""
-    hs_j = jnp.asarray([k[1] - k[0] for k in knots], jnp.float32)
-    Vj = jnp.asarray(V, jnp.float32)
-    return np.asarray(jnp.stack(
-        [sum(_axis_diffs(Vj, hs_j[ax], ax)) * 0.5 for ax in range(7)],
-        axis=-1))
+    cache's gradV from the converged value grid): (Vp - Vm) / 2h with
+    edge replication — identical to sum(_axis_diffs)/2.
+
+    Pure NUMPY on the host: the device version materializes (..., 7)
+    temporaries that tile-pad 7 -> 128 on TPU (production grid: 124 GB
+    virtual — it OOM'd); host RAM handles the 6.8 GB real bytes."""
+    V = np.asarray(V, np.float32)
+    G = np.empty(V.shape + (7,), np.float32)
+    for ax in range(V.ndim):
+        h = float(knots[ax][1] - knots[ax][0])
+        n = V.shape[ax]
+        Vp = np.concatenate([np.take(V, np.arange(1, n), ax),
+                             np.take(V, [n - 1], ax)], ax)
+        Vp -= np.concatenate([np.take(V, [0], ax),
+                              np.take(V, np.arange(0, n - 1), ax)], ax)
+        G[..., ax] = Vp / (2.0 * h)
+    return G
 
 
 def load_cache(path: str) -> hji_mod.HJICache:

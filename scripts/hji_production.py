@@ -71,13 +71,13 @@ def _save(out):
 
 def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50,
                 horizon_s=None, retime=True, slab_chunk=0,
-                dt_fixed=None, axis_order=None):
+                dt_fixed=None, axis_order=None, with_grad=True):
     # chunked launches: a single multi-minute device execution crashes
     # the remote TPU worker (watchdog); ~30 s chunks are safe
     kw = dict(shape=shape, n_sweeps=sweeps, fx_samples=fx_samples,
               sweep_chunk=chunk, horizon_s=horizon_s,
               slab_chunk=slab_chunk, dt_fixed=dt_fixed,
-              axis_order=axis_order)
+              axis_order=axis_order, with_grad=with_grad)
     t0 = time.perf_counter()
     cache, deltas, times = HS.solve_hji(veh, **kw)
     jax.block_until_ready(cache.V)
@@ -94,11 +94,12 @@ def timed_solve(veh, shape, sweeps, fx_samples=15, chunk=50,
 
 def solve_phase(out, veh, name, shape, sweeps, npz, horizon_s=None,
                 retime=True, slab_chunk=0, dt_fixed=None,
-                include_grad=True, axis_order=None):
+                include_grad=True, axis_order=None, with_grad=True):
     n_pts = int(np.prod(shape))
     cache, deltas, times, total_s, run_s = timed_solve(
         veh, shape, sweeps, horizon_s=horizon_s, retime=retime,
-        slab_chunk=slab_chunk, dt_fixed=dt_fixed, axis_order=axis_order)
+        slab_chunk=slab_chunk, dt_fixed=dt_fixed, axis_order=axis_order,
+        with_grad=with_grad)
     # the avoid game between equal-agility vehicles is pursuer-won at
     # infinite horizon (V -> floor everywhere; measured: the fully
     # converged global-LF proto cache sat in [-3.0, -2.5] on the WHOLE
@@ -250,12 +251,13 @@ def main():
         solve_phase(out, veh, "mid", MID_SHAPE, args.sweeps,
                     MID_NPZ, horizon_s=args.horizon, retime=False,
                     dt_fixed=DT_FIXED, include_grad=False,
-                    slab_chunk=1, axis_order=HS.PROD_AXIS_ORDER)
+                    slab_chunk=1, axis_order=HS.PROD_AXIS_ORDER,
+                    with_grad=False)
     if args.phase in ("production", "all"):
         solve_phase(out, veh, "production", HS.DEFAULT_SHAPE, args.sweeps,
                     PROD_NPZ, horizon_s=args.horizon, retime=False,
                     slab_chunk=1, dt_fixed=DT_FIXED, include_grad=False,
-                    axis_order=HS.PROD_AXIS_ORDER)
+                    axis_order=HS.PROD_AXIS_ORDER, with_grad=False)
     if args.phase in ("refine", "all"):
         refine_phase(out, veh, args.scenarios)
 

@@ -125,8 +125,12 @@ def test_hji_sharded_matches_unsharded(x1):
     np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_u),
                                rtol=1e-4, atol=1e-4)
     err = np.abs(np.asarray(cache_s.V) - np.asarray(cache_u.V))
-    assert err.max() < 0.12, err.max()      # ~2% of the dE spacing here
-    assert err.mean() < 1e-3, err.mean()
+    # noise floor of a single-cell argmax flip is ~|f|*dt: with the
+    # round-5 scenario-covering box (dE +-48, dN +-32) corner flows reach
+    # ~90 m/s at dt ~ 5e-3 -> ~0.45 m worst case on isolated cells; the
+    # mean pins that flips stay isolated
+    assert err.max() < 0.7, err.max()
+    assert err.mean() < 2e-3, err.mean()
 
 
 def test_hji_sharded_exact_on_smooth_flow():
