@@ -63,9 +63,12 @@ def make_cache(knots, V_grid, gradV_grid=None) -> HJICache:
         # materialize the padded (P, 7) source first
         g = jnp.asarray(np.ascontiguousarray(
             np.asarray(gradV_grid, np.float32).reshape(-1, 7).T))
+    # flatten in NUMPY before upload: a 7-D grid with small minor dims
+    # tile-pads up to ~14x on TPU (the 242M production V copied as 13.5
+    # GB and OOM'd); 1-D arrays pad only to the next 128 lanes
     return HJICache(
         knots=tuple(jnp.asarray(k, jnp.float32) for k in knots),
-        V=jnp.asarray(V_grid, jnp.float32).reshape(-1),
+        V=jnp.asarray(np.asarray(V_grid, np.float32).reshape(-1)),
         gradV=g, dims=dims, strides=strides)
 
 
