@@ -249,9 +249,13 @@ def main():
                       / max(one_p["step_p50_ms"], 1e-9) - 1.0)
         out["pinned"] = {
             "note": ("taskset-pinned: each process owns a DISJOINT "
-                     "2-core set (baseline pinned to 2 cores too), so "
-                     "the overhead measures the distributed wiring "
-                     "itself, not core contention (VERDICT r4 weak 4)"),
+                     "2-core set (baseline pinned to 2 cores too). "
+                     "MEASURED: pinning is WORSE than free-floating "
+                     "(the XLA CPU runtime sizes its intra-op pool for "
+                     "the detected core count and thrashes inside a "
+                     "2-core affinity set) — i.e. the contended numbers "
+                     "are bounded by host threading, not transport; the "
+                     "clean multi-host statement is dcn_analytic_model"),
             "single_process": one_p,
             "two_process": two_p,
             "cross_process_step_overhead_frac": round(overhead_p, 4),
