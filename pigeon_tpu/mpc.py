@@ -610,17 +610,27 @@ def _post_solve(cfg: MPCConfig, carry: MPCCarry, q0,
     # HJI least-restrictive override ("hammer"; reference
     # src/ros_integration.jl:115-125)
     hji_active = aux.V_hji <= cfg.hji_eps
+    overridden = jnp.asarray(False)
     if cfg.formulation == "coupled" and cfg.use_hji_policy:
         u2_opt = hji_mod.optimal_control(veh, aux.x_rel, aux.gradV)
         Fxf_o, Fxr_o = dyn.longitudinal_split(veh, u2_opt[1])
         u3_opt = jnp.stack([u2_opt[0], Fxf_o, Fxr_o])
         u3_out = jnp.where(hji_active, u3_opt, u3_out)
+        overridden = hji_active
 
     new_carry = MPCCarry(
         prev_ts=aux.ts,
         q_prev=jnp.where(finite, q_sol, carry.q_prev),
         u_prev=jnp.where(finite, u_sol, carry.u_prev),
-        solved=finite,
+        # An applied override invalidates the warm start: the published
+        # bang-bang command is far from the QP's plan, so resampling
+        # that plan next step seeds the solver with stale dynamics
+        # (r5 safety A/B measured hammer-arm converged_frac 0.85-0.91
+        # from exactly this staleness); the post-override cold trim
+        # reseeds from the actual state.  Deviation from the reference,
+        # which keeps its warm start through overrides
+        # (src/ros_integration.jl:115-125).
+        solved=finite & jnp.logical_not(overridden),
         warm_x=jnp.where(finite, sol.x, 0.0),
         warm_y=jnp.where(finite, sol.y, 0.0),
         warm_z=jnp.where(finite, sol.z, 0.0),

@@ -70,14 +70,18 @@ def main():
     # eps ladder: V is in METERS here (optimal-play min separation minus
     # the 3 m margin), unlike the reference asset's normalized value, so
     # the reference's eps=0.05 activates only when the game is nearly
-    # lost.  0.3/0.6 m engage the filter earlier.
+    # lost.  The upper rungs are CALIBRATED TO THE MEASURED VALUE-GRID
+    # ERROR (HJI_PROD.json refinement: V mean |delta| 1.45 m, p99
+    # 2.75 m between the two finest grids): boundary-riding at an eps
+    # below the value function's own uncertainty rides INSIDE the error
+    # bar — eps 1.5 covers the mean, eps 3.0 the p99.
     arms = {
         "off": dict(use_hji=False, policy=False, eps=0.05),
-        "feather": dict(use_hji=True, policy=False, eps=0.05),
+        "feather_eps0.6": dict(use_hji=True, policy=False, eps=0.6),
         "hammer": dict(use_hji=True, policy=True, eps=0.05),
-        "feather_eps0.3": dict(use_hji=True, policy=False, eps=0.3),
-        "hammer_eps0.3": dict(use_hji=True, policy=True, eps=0.3),
         "hammer_eps0.6": dict(use_hji=True, policy=True, eps=0.6),
+        "hammer_eps1.5": dict(use_hji=True, policy=True, eps=1.5),
+        "hammer_eps3.0": dict(use_hji=True, policy=True, eps=3.0),
     }
     out = {"metric": "hji_safety_ab", "platform": platform,
            "scenarios": args.scenarios, "steps": args.steps,
