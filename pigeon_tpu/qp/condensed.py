@@ -608,13 +608,25 @@ def build_qp_soft(veh: VehicleParams, ctl: CoupledControlParams,
                       0.0).astype(dtype)
     w_env = jnp.stack([ctl.W_beta * dt, ctl.W_beta * dt,
                        ctl.W_r * dt, ctl.W_r * dt], axis=-1)  # (T, 4)
+    # The FIRST slew row anchors on the externally-commanded u_curr; an
+    # HJI bang-bang override (or any external command) can put u_curr at
+    # full lock while the stable-envelope delta bound at speed is
+    # tighter — the two HARD rows are then DISJOINT (measured: at
+    # Ux=12 m/s the stable range is +-0.222 rad vs a rate window
+    # [0.311, 0.314] around lock) and ADMM cannot converge on an
+    # infeasible QP (the r5 safety A/B's hammer-arm conv 0.77-0.93 was
+    # exactly this).  A large exact penalty keeps the row binding
+    # whenever feasible (W exceeds any realistic dual) and yields the
+    # least-slew-violation solution when not.
+    w_rate = jnp.concatenate([jnp.full(1, 1e3, dtype),
+                              jnp.full(T - 1, big)])
     w = jnp.concatenate([
         jnp.full(T, big),                                # ux hard
         jnp.full(N - 1, big),                            # fx hard
         w_hji,
         jnp.full(T, big),                                # delta hard
         w_env.reshape(-1),
-        jnp.full(T, big),                                # rate hard
+        w_rate,
     ] + ([ctl.W_wall * dt] if ctl.use_walls else []))
 
     # ---- objective -------------------------------------------------------

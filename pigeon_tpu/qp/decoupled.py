@@ -302,8 +302,12 @@ def build_qp_soft(veh: VehicleParams, ctl: DecoupledControlParams,
     # soft-row weights (reference slack linear costs W_beta, W_r on sig)
     w_env = jnp.stack([ctl.W_beta * dt, ctl.W_beta * dt,
                        ctl.W_r * dt, ctl.W_r * dt], axis=-1)  # (T, 4)
-    w = jnp.concatenate([jnp.full(T, big), w_env.reshape(-1),
-                         jnp.full(T, big)])
+    # first slew row soft (exact penalty): its anchor d_curr is external
+    # and can sit outside the envelope delta bound, making the two hard
+    # rows disjoint — see qp/condensed.py build_qp_soft
+    w_rate = jnp.concatenate([jnp.full(1, 1e3, dt.dtype),
+                              jnp.full(T - 1, big)])
+    w = jnp.concatenate([jnp.full(T, big), w_env.reshape(-1), w_rate])
 
     # ---- objective ------------------------------------------------------
     # state tracking (Q_dpsi, Q_e on rows 2:4) through the rollout

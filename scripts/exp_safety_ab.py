@@ -63,7 +63,7 @@ def main():
     regimes = {"avoidable": (12.0, 40.0), "pressed": (8.0, 30.0)}
 
     solver = SolverOptions(
-        max_iter=450, check_every=50, eps_abs=1e-3, eps_rel=1e-3,
+        max_iter=600, check_every=50, eps_abs=1e-3, eps_rel=1e-3,
         backend=("lanes" if platform == "tpu" else "xla"),
         scaling_iters=2, pallas_check_inner=10)
 
