@@ -452,10 +452,112 @@ def rollout_affine_unroll(A_all, E):
     return jnp.stack(out)
 
 
-def rollout_affine(A_all, E):
+def _rollout_affine_impl(A_all, E):
     if E.shape[0] >= ROLLOUT_SCAN_MIN_T:
         return rollout_affine_scan(A_all, E)
     return rollout_affine_unroll(A_all, E)
+
+
+def _rollout_lane_kernel(T: int, d: int, a_ref, e_ref, out_ref):
+    """Lane-batched affine rollout: instances on the 128-lane axis.
+
+    The recursion M_t = A_t M_{t-1} + E_t is columnwise independent in
+    M's trailing width, so the grid blocks over (width, lanes) and each
+    cell runs the WHOLE T-step recursion in VMEM: T*d broadcast
+    multiply-accumulate VPU ops over (d, w_blk, L) blocks.  As a vmapped
+    unroll, the same recursion is T dependent batched (d,d)@(d,w)
+    matmuls whose tiny minor dims tile-pad to (8,128) — measured 60 ms
+    of the decoupled fleet step at B=8192/T=30 on v5e vs ~4 ms here
+    (see scripts/exp_assemble_phases.py)."""
+    A = a_ref[:]                                   # (T, d, d, L)
+    Ef = e_ref[:]                                  # (T, d, wb, L)
+    M = Ef[0]
+    outs = [M]
+    for t in range(1, T):
+        At = A[t]
+        acc = At[:, 0:1, :] * M[0:1]
+        for c in range(1, d):
+            acc = acc + At[:, c:c + 1, :] * M[c:c + 1]
+        M = acc + Ef[t]
+        outs.append(M)
+    out_ref[:] = jnp.stack(outs)
+
+
+def _rollout_lane_batched(A_b, E_b, lanes: int = 128, w_blk: int = 8,
+                          interpret: bool = False):
+    """(B, T, d, d), (B, T, d, w) -> (B, T, d, w) cumulative rollout with
+    the batch mapped onto lanes (same chunking discipline as
+    discretize._expm_lane_batched)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem_kw = {"memory_space": pltpu.VMEM}
+    except (ImportError, NotImplementedError):
+        vmem_kw = {}
+
+    B, T, d, w = A_b.shape[0], A_b.shape[1], A_b.shape[2], E_b.shape[-1]
+    chunk = -(-max(lanes, min(1024, B)) // lanes) * lanes
+    B_pad = -(-B // chunk) * chunk
+    w_pad = -(-w // w_blk) * w_blk
+    At = jnp.moveaxis(A_b, 0, -1)                  # (T, d, d, B)
+    Et = jnp.moveaxis(E_b, 0, -1)                  # (T, d, w, B)
+    if w_pad != w:
+        Et = jnp.concatenate(
+            [Et, jnp.zeros((T, d, w_pad - w, B), Et.dtype)], axis=2)
+    if B_pad != B:
+        At = jnp.concatenate(
+            [At, jnp.zeros((T, d, d, B_pad - B), At.dtype)], axis=-1)
+        Et = jnp.concatenate(
+            [Et, jnp.zeros((T, d, w_pad, B_pad - B), Et.dtype)],
+            axis=-1)
+    a_spec = pl.BlockSpec((T, d, d, lanes), lambda wb, i: (0, 0, 0, i),
+                          **vmem_kw)
+    e_spec = pl.BlockSpec((T, d, w_blk, lanes),
+                          lambda wb, i: (0, 0, wb, i), **vmem_kw)
+
+    def run_chunk(args):
+        Ac, Ec = args
+        return pl.pallas_call(
+            _ft.partial(_rollout_lane_kernel, T, d),
+            grid=(w_pad // w_blk, chunk // lanes),
+            in_specs=[a_spec, e_spec], out_specs=e_spec,
+            out_shape=jax.ShapeDtypeStruct((T, d, w_pad, chunk),
+                                           Et.dtype),
+            interpret=interpret,
+        )(Ac, Ec)
+
+    n_chunks = B_pad // chunk
+    if n_chunks == 1:
+        out = run_chunk((At, Et))
+    else:
+        Acs = jnp.stack([At[..., i * chunk:(i + 1) * chunk]
+                         for i in range(n_chunks)])
+        Ecs = jnp.stack([Et[..., i * chunk:(i + 1) * chunk]
+                         for i in range(n_chunks)])
+        out_c = jax.lax.map(run_chunk, (Acs, Ecs))
+        out = jnp.concatenate(list(out_c), axis=-1)
+    return jnp.moveaxis(out[:, :, :w, :B], -1, 0)  # (B, T, d, w)
+
+
+@jax.custom_batching.custom_vmap
+def rollout_affine(A_all, E):
+    return _rollout_affine_impl(A_all, E)
+
+
+@rollout_affine.def_vmap
+def _rollout_affine_vmap(axis_size, in_batched, A_b, E_b):
+    # batched callers (the vmapped MPC pre-solve) route to the
+    # lane-batched kernel on TPU; everything else (CPU tests, nested
+    # vmaps, long-horizon scan configs) keeps the reference lowering
+    if (all(in_batched) and A_b.ndim == 4
+            and E_b.shape[1] < ROLLOUT_SCAN_MIN_T and A_b.shape[0] > 1
+            and jax.devices()[0].platform == "tpu"):
+        return _rollout_lane_batched(A_b, E_b), True
+    in_axes = tuple(0 if b else None for b in in_batched)
+    return jax.vmap(_rollout_affine_impl, in_axes=in_axes)(A_b, E_b), True
 
 
 def build_qp_soft(veh: VehicleParams, ctl: CoupledControlParams,
