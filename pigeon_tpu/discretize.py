@@ -261,16 +261,25 @@ def linearize_horizon_fused(f, qs, urs, dts, S: int, n_keep: int,
     T = dts.shape[0]
     n = qs.shape[-1]
     m = urs.shape[-1]
-    M, dim = linearize_affine_horizon(f, qs[:T], urs[:T], urs[1:], dts,
-                                      n_keep)
-    foh = (jnp.arange(T) >= S)[:, None, None]
-    ramp = jnp.broadcast_to(jnp.eye(m, dtype=qs.dtype), (T, m, m))
-    M = M.at[:, n:n + m, n + m:n + 2 * m].set(
-        jnp.where(foh, ramp, jnp.zeros_like(ramp)))
-    E = _expm_stage_packed(M * dts[:, None, None], squarings=squarings,
-                           order=order, precision=precision)
+    Jq = jax.vmap(jax.jacfwd(f, argnums=0))(qs[:T], urs[:T])
+    Ju = jax.vmap(jax.jacfwd(f, argnums=1))(qs[:T], urs[:T])
+    f0 = jax.vmap(f)(qs[:T], urs[:T])
+    ct = (f0 - jnp.einsum("tij,tj->ti", Jq, qs[:T])
+          - jnp.einsum("tij,tj->ti", Ju, urs[:T]))
+    foh = (jnp.arange(T) >= S).astype(qs.dtype)
+    d3 = dts[:, None, None]
+    A, Phi_qu, Phi_qv, zcol = _vanloan_stages(
+        Jq * d3, Ju * d3, (ct * dts[:, None])[..., None], foh * dts,
+        squarings, order, precision)
+    Bf_full = Phi_qv / d3
+    B0_full = Phi_qu - Bf_full
     urs_next = urs[1:]
-    return extract_affine_horizon(E, dts, urs[:T], urs_next, n, m, n_keep)
+    c = (zcol[..., 0]
+         + jnp.einsum("tij,tj->ti", B0_full[:, :, n_keep:],
+                      urs[:T, n_keep:])
+         + jnp.einsum("tij,tj->ti", Bf_full[:, :, n_keep:],
+                      urs_next[:, n_keep:]))
+    return A, B0_full[:, :, :n_keep], Bf_full[:, :, :n_keep], c
 
 
 def _expm_chain_kernel(squarings: int, order: int, m_ref, out_ref):
@@ -524,3 +533,203 @@ def _expm_stage_packed_impl(M, squarings: int, order: int, precision: str):
     Es = [Eb[:, j * d:(j + 1) * d, j * d:(j + 1) * d] for j in range(k)]
     E = jnp.stack(Es, axis=1).reshape(G * k, d, d)
     return E[:T]
+
+
+# ---------------------------------------------------------------------------
+# Structured (Van Loan) expm for the horizon augmentation
+# ---------------------------------------------------------------------------
+#
+# The fused-horizon stage matrix is block upper triangular,
+#
+#     M dt = [[ P, Cu, 0, cc ],        P  = Jq dt   (n x n)
+#             [ 0,  0, rI, 0  ],        Cu = Ju dt   (n x m)
+#             [ 0,  0,  0, 0  ],        cc = c  dt   (n x 1)
+#             [ 0,  0,  0, 0  ]]        r  = foh dt  (scalar)
+#
+# with a NILPOTENT lower-right block (the FOH ramp injection K, K^2 = 0).
+# exp(M dt) therefore needs only the n x n chain and its action on the
+# (2m+1) augmentation columns:
+#
+#     e11 = sum_j P^j / j!                     (the state transition)
+#     e12 = U C + W C K,  U = sum P^i/(i+1)!,  W = sum P^i/(i+2)!
+#     squaring: e12' = e11 e12 + e12 + r_cur * shift(e12), r_cur *= 2
+#
+# Tracked as three column groups X (u), Y (ramp), z (affine), this replaces
+# the dense (n+2m+1)^2 chain (17x17 for the decoupled model) with n x n and
+# n x m MACs — ~20x fewer flops AND it never materializes the (B, T, 17, 17)
+# mostly-zero augmented operand (284 MB at B=8192) that dominated the
+# jacobian phase of the decoupled assembly (scripts/exp_assemble_phases.py).
+
+def _vanloan_lane_kernel(squarings: int, order: int, n: int, m: int,
+                         p_ref, cu_ref, cc_ref, r_ref,
+                         a_ref, x_ref, y_ref, z_ref):
+    import math as _math
+
+    s = 1.0 / 2.0 ** squarings
+    P = p_ref[:] * s                               # (T, n, n, L)
+    Cu = cu_ref[:] * s                             # (T, n, m, L)
+    cc = cc_ref[:] * s                             # (T, n, 1, L)
+    r = r_ref[:][:, None, None, :] * s             # (T, 1, 1, L)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, P.shape, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, P.shape, 2)
+    eye = (row == col).astype(P.dtype)
+
+    def mm(A, B):
+        # C[t,a,b,L] = sum_c A[t,a,c,L] * B[t,c,b,L]
+        acc = A[:, :, 0:1, :] * B[:, 0:1, :, :]
+        for c in range(1, A.shape[2]):
+            acc = acc + A[:, :, c:c + 1, :] * B[:, c:c + 1, :, :]
+        return acc
+
+    # phi-function Taylor sums, truncated to match the dense order-`order`
+    # polynomial exactly: e11 keeps P^j, j<=order; U keeps j<=order-1
+    # (from M^j's P^{j-1} C term); W keeps j<=order-2 (P^{j-2} C K term)
+    Pj = eye
+    e11 = eye
+    U = eye
+    W = eye * 0.5
+    for j in range(1, order + 1):
+        Pj = mm(Pj, P)
+        e11 = e11 + Pj * (1.0 / _math.factorial(j))
+        if j <= order - 1:
+            U = U + Pj * (1.0 / _math.factorial(j + 1))
+        if j <= order - 2:
+            W = W + Pj * (1.0 / _math.factorial(j + 2))
+
+    X = mm(U, Cu)                                  # u columns
+    Y = r * mm(W, Cu)                              # ramp columns (C K term)
+    z = mm(U, cc)                                  # affine column
+    rcur = r
+    for _ in range(squarings):
+        Xn = mm(e11, X) + X
+        Yn = mm(e11, Y) + Y + rcur * X
+        zn = mm(e11, z) + z
+        e11 = mm(e11, e11)
+        X, Y, z = Xn, Yn, zn
+        rcur = rcur * 2.0
+
+    a_ref[:] = e11
+    x_ref[:] = X
+    y_ref[:] = Y
+    z_ref[:] = z
+
+
+def _vanloan_lane_batched(P0, Cu0, cc0, rr, squarings: int, order: int,
+                          lanes: int = 128, interpret: bool = False):
+    """Batched structured expm with instances on lanes.
+
+    P0 (B, T, n, n), Cu0 (B, T, n, m), cc0 (B, T, n, 1), rr (B, T) ->
+    (A, Phi_qu, Phi_qv, zcol) with shapes (B,T,n,n), (B,T,n,m),
+    (B,T,n,m), (B,T,n,1)."""
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        vmem_kw = {"memory_space": pltpu.VMEM}
+    except (ImportError, NotImplementedError):
+        vmem_kw = {}
+
+    B, T, n = P0.shape[0], P0.shape[1], P0.shape[2]
+    m = Cu0.shape[-1]
+    chunk = -(-max(lanes, min(1024, B)) // lanes) * lanes
+    B_pad = -(-B // chunk) * chunk
+    Pt = jnp.moveaxis(P0, 0, -1)                   # (T, n, n, B)
+    Cut = jnp.moveaxis(Cu0, 0, -1)
+    cct = jnp.moveaxis(cc0, 0, -1)
+    rt = jnp.moveaxis(rr, 0, -1)                   # (T, B)
+    if B_pad != B:
+        pad = B_pad - B
+        Pt = jnp.concatenate(
+            [Pt, jnp.zeros(Pt.shape[:-1] + (pad,), Pt.dtype)], axis=-1)
+        Cut = jnp.concatenate(
+            [Cut, jnp.zeros(Cut.shape[:-1] + (pad,), Cut.dtype)], axis=-1)
+        cct = jnp.concatenate(
+            [cct, jnp.zeros(cct.shape[:-1] + (pad,), cct.dtype)], axis=-1)
+        rt = jnp.concatenate(
+            [rt, jnp.zeros(rt.shape[:-1] + (pad,), rt.dtype)], axis=-1)
+
+    # ~10 live (T_blk, n, max(n,m), L) temporaries in the chain
+    T_blk = T
+    for cand in (T, 15, 10, 6, 5, 3, 2, 1):
+        if T % cand == 0 and 10 * cand * n * max(n, m + 1) * lanes * 4 \
+                < 24 * 2 ** 20:
+            T_blk = cand
+            break
+
+    def spec(w):
+        return pl.BlockSpec((T_blk, n, w, lanes),
+                            lambda t, i: (t, 0, 0, i), **vmem_kw)
+
+    r_spec = pl.BlockSpec((T_blk, lanes), lambda t, i: (t, i), **vmem_kw)
+
+    def run_chunk(args):
+        Pc, Cuc, ccc, rc = args
+        return pl.pallas_call(
+            _ft.partial(_vanloan_lane_kernel, squarings, order, n, m),
+            grid=(T // T_blk, chunk // lanes),
+            in_specs=[spec(n), spec(m), spec(1), r_spec],
+            out_specs=[spec(n), spec(m), spec(m), spec(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((T, n, n, chunk), Pt.dtype),
+                jax.ShapeDtypeStruct((T, n, m, chunk), Pt.dtype),
+                jax.ShapeDtypeStruct((T, n, m, chunk), Pt.dtype),
+                jax.ShapeDtypeStruct((T, n, 1, chunk), Pt.dtype)],
+            interpret=interpret,
+        )(Pc, Cuc, ccc, rc)
+
+    n_chunks = B_pad // chunk
+    if n_chunks == 1:
+        outs = run_chunk((Pt, Cut, cct, rt))
+    else:
+        stacked = tuple(
+            jnp.stack([x[..., i * chunk:(i + 1) * chunk]
+                       for i in range(n_chunks)])
+            for x in (Pt, Cut, cct, rt))
+        out_c = jax.lax.map(run_chunk, stacked)
+        outs = [jnp.concatenate(list(o), axis=-1) for o in out_c]
+    return tuple(jnp.moveaxis(o[..., :B], -1, 0) for o in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _vanloan_cached(squarings: int, order: int, precision: str):
+    def impl(P0, Cu0, cc0, rr):
+        T, n = P0.shape[0], P0.shape[1]
+        m = Cu0.shape[-1]
+        dim = n + 2 * m + 1
+        M = jnp.zeros((T, dim, dim), P0.dtype)
+        M = M.at[:, :n, :n].set(P0)
+        M = M.at[:, :n, n:n + m].set(Cu0)
+        M = M.at[:, :n, -1].set(cc0[..., 0])
+        ramp = jnp.eye(m, dtype=P0.dtype)
+        M = M.at[:, n:n + m, n + m:n + 2 * m].set(
+            rr[:, None, None] * ramp)
+        E = _expm_stage_packed(M, squarings=squarings, order=order,
+                               precision=precision)
+        return (E[:, :n, :n], E[:, :n, n:n + m],
+                E[:, :n, n + m:n + 2 * m], E[:, :n, -1:])
+
+    @jax.custom_batching.custom_vmap
+    def vanloan(P0, Cu0, cc0, rr):
+        return impl(P0, Cu0, cc0, rr)
+
+    @vanloan.def_vmap
+    def _rule(axis_size, in_batched, P0b, Cu0b, cc0b, rrb):
+        if (all(in_batched) and P0b.ndim == 4 and P0b.shape[0] > 1
+                and jax.devices()[0].platform == "tpu"):
+            return (_vanloan_lane_batched(P0b, Cu0b, cc0b, rrb,
+                                          squarings, order),
+                    (True, True, True, True))
+        in_axes = tuple(0 if b else None for b in in_batched)
+        return (jax.vmap(impl, in_axes=in_axes)(P0b, Cu0b, cc0b, rrb),
+                (True, True, True, True))
+
+    return vanloan
+
+
+def _vanloan_stages(P0, Cu0, cc0, rr, squarings: int, order: int,
+                    precision: str):
+    return _vanloan_cached(int(squarings), int(order),
+                           str(precision))(P0, Cu0, cc0, rr)
